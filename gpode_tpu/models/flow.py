@@ -1,0 +1,74 @@
+"""Flow: numerical integration of a sampled GP vector field.
+
+Rebuilds the reference's `Flow`/`ODEfunc` facade (`src/core/flow.py:7-130`)
+functionally: a "flow" is just `odeint` applied to `eval_draw` of a fixed
+:class:`~gpode_tpu.models.gp.PosteriorDraw`. The reference's
+`before_odeint(rebuild_cache=True)` — draw once per solve so the rhs is
+deterministic within a solve — becomes explicit: callers pass either a draw
+(:func:`flow_forward`) or a PRNG key (:func:`flow_forward_sampled`).
+
+Solver configuration is a static, hashable dataclass so it can parameterize
+jitted train steps without retracing on value changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpode_tpu.models import gp
+from gpode_tpu.ops.ode import ODEStats, odeint
+from gpode_tpu.utils.time_grids import substeps_from_dense_scale
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver knobs (reference: `flow.py:41`, `train_vdp_gpode.py:47-53`).
+
+    ts_dense_scale mirrors the reference flag: fixed-step solvers take
+    `ts_dense_scale - 1` sub-steps per observation interval; dopri5 ignores it
+    (dense output replaces grid densification).
+    """
+
+    solver: str = "dopri5"
+    rtol: float = 1e-6
+    atol: float = 1e-6
+    ts_dense_scale: int = 1
+    max_steps: int = 256
+
+    @property
+    def substeps(self) -> int:
+        return substeps_from_dense_scale(self.ts_dense_scale)
+
+
+def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
+                 x0: jax.Array, ts: jax.Array,
+                 cfg: SolverConfig) -> tuple[jax.Array, ODEStats]:
+    """Integrate dx/dt = f_draw(x) from x0 over ts.
+
+    x0: (N, D); ts: (T,) increasing or decreasing (backward = `Flow.inverse`,
+    `flow.py:92-115`, is just decreasing ts). Returns ((N, T, D), stats).
+    """
+
+    def rhs(t, x):
+        del t  # time-invariant ODE (`dsvgp.py:172`)
+        return gp.eval_draw(gp_params, draw, x)
+
+    xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
+                       atol=cfg.atol, substeps=cfg.substeps,
+                       max_steps=cfg.max_steps)
+    return jnp.moveaxis(xs, 0, 1), stats
+
+
+def flow_forward_sampled(key: jax.Array, gp_params: gp.SVGPParams,
+                         x0: jax.Array, ts: jax.Array, cfg: SolverConfig,
+                         num_features: int,
+                         chol_zz: Optional[jax.Array] = None
+                         ) -> tuple[jax.Array, ODEStats]:
+    """Draw a fresh posterior sample, then integrate (the reference's
+    `Flow.forward` with `rebuild_cache=True`, `flow.py:60-90`)."""
+    draw = gp.draw_posterior(key, gp_params, num_features, chol_zz)
+    return flow_forward(gp_params, draw, x0, ts, cfg)

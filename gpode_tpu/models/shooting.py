@@ -1,0 +1,120 @@
+"""Shooting GPODE: multiple-shooting ELBO with segment-parallel integration.
+
+Rebuilds `src/gpode_shooting/models.py:14-146` + the loss assembly of
+`src/gpode_shooting/model_builder.py:59-72`. The key trick is preserved and
+is exactly what maps this model onto TPUs: all S·N·T shooting segments are
+flattened into one batch and integrated simultaneously over a single uniform
+interval `ts[:2]` (`models.py:119-125`) — O(1)-depth integration regardless
+of sequence length. In this rebuild the flattened segment batch is also the
+axis sharded across chips (see `gpode_tpu.parallel`).
+
+Five ELBO terms (`models.py:108-146`, `model_builder.py:71`):
+    loss = -( mean obs-loglik
+              + sum_t mean_s constraint-loglik / num_obs
+              + sum entropy(q(s)) / num_obs
+              - KL(q(x0)) / num_obs
+              - KL(q(u)) / num_obs )
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from gpode_tpu.models import gp
+from gpode_tpu.models.constraints import (GaussianConstraint, LaplaceConstraint,
+                                          constraint_log_prob)
+from gpode_tpu.models.flow import SolverConfig, flow_forward
+from gpode_tpu.models.likelihoods import (GaussianLikelihood,
+                                          ProjectedGaussianLikelihood,
+                                          likelihood_log_prob)
+from gpode_tpu.models.states import (ShootingStatePosterior, initial_state_kl,
+                                     sample_shooting_states, shooting_entropy)
+
+Likelihood = Union[GaussianLikelihood, ProjectedGaussianLikelihood]
+Constraint = Union[GaussianConstraint, LaplaceConstraint]
+
+
+class ShootingParams(NamedTuple):
+    """Trainable state of the shooting GPODE model."""
+
+    gp: gp.SVGPParams
+    states: ShootingStatePosterior
+    likelihood: Likelihood
+    constraint: Constraint
+
+
+class ShootingELBOTerms(NamedTuple):
+    """Per-step scalars (`train_vdp_gpode_shooting.py:146-158`)."""
+
+    loss: jax.Array
+    observ_nll: jax.Array
+    state_kl: jax.Array  # -(constraint loglik + entropy), the reference's "XS KL"
+    x0_kl: jax.Array
+    inducing_kl: jax.Array
+    nfe: jax.Array
+
+
+def stack_segments(x: jax.Array) -> jax.Array:
+    """(..., D) -> (prod(...), D) (`models.py:6-7`)."""
+    return x.reshape(-1, x.shape[-1])
+
+
+def unstack_segments(x: jax.Array, shape) -> jax.Array:
+    """Inverse of :func:`stack_segments` (`models.py:10-11`)."""
+    return x.reshape(shape)
+
+
+def integrate_segments(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
+                       ss: jax.Array, ts_pair: jax.Array, cfg: SolverConfig):
+    """Advance every shooting state one interval: (S, N, T, D) -> endpoints
+    (S, N, T, D). One flow call over the flattened segment batch
+    (`models.py:119-125`)."""
+    shape = ss.shape
+    xs, stats = flow_forward(gp_params, draw, stack_segments(ss), ts_pair, cfg)
+    return unstack_segments(xs[:, -1], shape), stats
+
+
+def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
+              ts: jax.Array, cfg: SolverConfig, num_features: int,
+              num_samples: int = 1,
+              state_sharding=None) -> tuple[jax.Array, ShootingELBOTerms]:
+    """Negative shooting ELBO; ys: (N, T, D_obs), ts: (T,) uniform grid.
+
+    One GP function draw is shared by all `num_samples` state samples, as in
+    the reference (one `rebuild_cache` per flow call, `models.py:119-125`).
+
+    `state_sharding` (optional NamedSharding over (S, N, T, D)) pins the MC
+    and sequence axes of the sampled shooting states to the device mesh; the
+    flattened segment batch then integrates fully sharded with no collectives
+    inside the ODE loop.
+    """
+    k_draw, k_ss = jax.random.split(key)
+
+    ss = sample_shooting_states(k_ss, params.states, num_samples)  # (S,N,T,D)
+    if state_sharding is not None:
+        ss = jax.lax.with_sharding_constraint(ss, state_sharding)
+    s, n, t, d = ss.shape
+
+    draw = gp.draw_posterior(k_draw, params.gp, num_features)
+    pred, stats = integrate_segments(params.gp, draw, ss, ts[:2], cfg)
+
+    observ_loglik = jnp.mean(likelihood_log_prob(params.likelihood, pred, ys[None]))
+
+    entropy = shooting_entropy(params.states)                    # (N, T-1)
+    constr = constraint_log_prob(params.constraint, ss[:, :, 1:, :],
+                                 pred[:, :, :-1, :]).sum(axis=3)  # (S, N, T-1)
+
+    num_obs = ys.size
+    scaled_constr = jnp.mean(constr, axis=0).sum() / num_obs
+    scaled_entropy = entropy.sum() / num_obs
+    x0_kl = initial_state_kl(params.states.x0) / num_obs
+    ind_kl = gp.kl(params.gp) / num_obs
+
+    loss = -(observ_loglik + scaled_constr + scaled_entropy - x0_kl - ind_kl)
+    return loss, ShootingELBOTerms(
+        loss=loss, observ_nll=-observ_loglik,
+        state_kl=-(scaled_constr + scaled_entropy),
+        x0_kl=x0_kl, inducing_kl=ind_kl, nfe=stats.num_rhs_evals)

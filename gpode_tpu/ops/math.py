@@ -1,0 +1,144 @@
+"""Math substrate: constraint bijectors, packed-triangular storage, PSD helpers.
+
+Replaces the reference's L0 parameter/transform layer
+(`src/misc/constraint_utils.py:5-13`, `src/misc/transforms.py:8-116`,
+`src/misc/param.py:7-28`) with pure functions over unconstrained pytree leaves.
+
+The reference scatters packed lower-triangular parameters into dense matrices
+with Python loops over matrices (`src/misc/transforms.py:70-80,105-116`); here
+a single vectorized `.at[..., rows, cols].set` handles any batch shape, so the
+same code serves the (D,M,M) inducing scales and the (N,T,D,D) shooting-state
+Choleskys in one fused XLA op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Matches the reference's softplus lower bound (`src/misc/constraint_utils.py:6`).
+SOFTPLUS_LOWER = 1e-12
+
+# Default jitter for PSD factorizations (`src/core/dsvgp.py:8`, `settings.jitter`).
+DEFAULT_JITTER = 1e-5
+
+# Full-f32 matmul accumulation. JAX's default matmul precision truncates
+# operands to bf16 on TPU (and mirrors that on CPU), which injects ~1e-3
+# relative error into Gram matrices — fatal for Cholesky-based GP math. Every
+# precision-critical contraction in this package passes this explicitly;
+# deliberately-low-precision fast paths (Pallas kernels) opt out locally.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def softplus(x: jax.Array) -> jax.Array:
+    """Positivity bijector: unconstrained -> constrained (> SOFTPLUS_LOWER)."""
+    return jax.nn.softplus(x) + SOFTPLUS_LOWER
+
+
+def invsoftplus(y) -> jax.Array:
+    """Inverse of :func:`softplus`; accepts floats or arrays.
+
+    Mirrors `src/misc/constraint_utils.py:10-13`: y -> y + log(1 - exp(-y))
+    after clamping away the additive lower bound.
+    """
+    y = jnp.asarray(y, dtype=jnp.result_type(float))
+    ys = jnp.maximum(y - SOFTPLUS_LOWER, jnp.finfo(y.dtype).eps)
+    return ys + jnp.log(-jnp.expm1(-ys))
+
+
+@functools.lru_cache(maxsize=None)
+def tril_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (host) lower-triangle indices, cached per size."""
+    rows, cols = np.tril_indices(n)
+    return rows, cols
+
+
+def tril_size(n: int) -> int:
+    return n * (n + 1) // 2
+
+
+def fill_tril(packed: jax.Array, n: int) -> jax.Array:
+    """Scatter packed triangular entries (..., n(n+1)/2) into (..., n, n) lower
+    triangular matrices. Vectorized over arbitrary leading batch dims."""
+    rows, cols = tril_indices(n)
+    batch = packed.shape[:-1]
+    out = jnp.zeros(batch + (n, n), dtype=packed.dtype)
+    return out.at[..., rows, cols].set(packed)
+
+
+def pack_tril(mat: jax.Array) -> jax.Array:
+    """Gather the lower triangle of (..., n, n) into (..., n(n+1)/2)."""
+    n = mat.shape[-1]
+    rows, cols = tril_indices(n)
+    return mat[..., rows, cols]
+
+
+def add_jitter(mat: jax.Array, jitter: float = DEFAULT_JITTER) -> jax.Array:
+    """Add `jitter * I` to the trailing (n, n) block of a (batched) matrix."""
+    n = mat.shape[-1]
+    return mat + jitter * jnp.eye(n, dtype=mat.dtype)
+
+
+def cholesky_jittered(mat: jax.Array, jitter: float = DEFAULT_JITTER) -> jax.Array:
+    """Cholesky of `mat + jitter*I`; batched over leading dims."""
+    return jnp.linalg.cholesky(add_jitter(mat, jitter))
+
+
+def solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve L x = b with L lower triangular; batched over leading dims."""
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+
+
+def solve_upper_from_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve L^T x = b with L lower triangular; batched over leading dims."""
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1)
+
+
+def tri_logdet_from_chol(L: jax.Array) -> jax.Array:
+    """log det(L L^T) = 2 * sum(log diag L); batched over leading dims."""
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def gaussian_logpdf(y: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
+    """Elementwise diagonal-Gaussian log density (`src/core/likelihoods.py:27-28`)."""
+    return -0.5 * (jnp.log(2.0 * jnp.pi) + jnp.log(var) + jnp.square(y - mean) / var)
+
+
+def laplace_logpdf(y: jax.Array, loc: jax.Array, scale: jax.Array) -> jax.Array:
+    """Elementwise Laplace log density (`src/core/constraints.py:62-66`)."""
+    return -jnp.log(2.0 * scale) - jnp.abs(y - loc) / scale
+
+
+def kl_whitened_gaussian(mean: jax.Array, chol: jax.Array) -> jax.Array:
+    """KL( N(mean, L L^T) || N(0, I) ) summed over leading batch dims.
+
+    `mean`: (..., k); `chol`: (..., k, k) lower triangular. Closed form used by
+    the reference for both the inducing posterior (`src/core/dsvgp.py:199-230`)
+    and the initial-state posterior (`src/core/states.py:97-114`):
+        2 KL = ||m||^2 + ||L||_F^2 - log det(L L^T) - k.
+    """
+    k = mean.shape[-1]
+    L = jnp.tril(chol)
+    mahalanobis = jnp.sum(jnp.square(mean), axis=-1)
+    trace = jnp.sum(jnp.square(L), axis=(-2, -1))
+    logdet_q = tri_logdet_from_chol(L)
+    two_kl = mahalanobis + trace - logdet_q - k
+    return 0.5 * jnp.sum(two_kl)
+
+
+def kl_whitened_gaussian_diag(mean: jax.Array, scale: jax.Array) -> jax.Array:
+    """Diagonal-covariance version of :func:`kl_whitened_gaussian`.
+
+    `mean`, `scale`: (..., k) with q = N(mean, diag(scale^2)); prior N(0, I).
+    Matches the reference's `q_diag` branch (`src/core/dsvgp.py:208-227`).
+    """
+    k = mean.shape[-1]
+    mahalanobis = jnp.sum(jnp.square(mean), axis=-1)
+    trace = jnp.sum(jnp.square(scale), axis=-1)
+    logdet_q = jnp.sum(jnp.log(jnp.square(scale)), axis=-1)
+    two_kl = mahalanobis + trace - logdet_q - k
+    return 0.5 * jnp.sum(two_kl)

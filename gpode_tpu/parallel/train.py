@@ -1,0 +1,59 @@
+"""Sharded training steps: the full ELBO + grad + Adam update over a mesh.
+
+Parameters and optimizer state replicate; observations shard over `dp`
+(sequences); sampled shooting states shard over (`mc`, `dp`). XLA inserts the
+gradient all-reduce from these annotations. Everything stays one XLA program
+per step, now SPMD over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpode_tpu.models import shooting
+from gpode_tpu.parallel.mesh import batch_sharding, replicated, sample_sharding
+from gpode_tpu.train.builders import ModelArgs
+
+
+def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
+                               optimizer: optax.GradientTransformation,
+                               frozen_mask=None):
+    """Jitted sharded step: (params, opt_state, key, ys, ts) -> (params,
+    opt_state, key, terms). ys must have N divisible by the `dp` axis size."""
+    cfg = args.solver_config()
+    ss_sharding = sample_sharding(mesh)
+    rep = replicated(mesh)
+    data_shard = batch_sharding(mesh, "dp") if "dp" in mesh.axis_names else rep
+
+    def loss(params, key, ys, ts):
+        return shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,
+                                  num_samples=args.num_samples,
+                                  state_sharding=ss_sharding)
+
+    @partial(jax.jit,
+             in_shardings=(rep, rep, rep, data_shard, rep),
+             out_shardings=(rep, rep, rep, rep))
+    def step(params, opt_state, key, ys, ts):
+        key, sub = jax.random.split(key)
+        (_, terms), grads = jax.value_and_grad(loss, has_aux=True)(params, sub, ys, ts)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * 0 if m else g, grads, frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, terms
+
+    return step
+
+
+def device_put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def device_put_batch(array, mesh: Mesh, axis: str = "dp"):
+    return jax.device_put(array, NamedSharding(mesh, P(axis)))

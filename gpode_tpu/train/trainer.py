@@ -1,0 +1,145 @@
+"""Jitted Adam training loop with meters, logging, and periodic checkpointing.
+
+Replaces the reference's hand-written per-script loops
+(`train_vdp_gpode.py:114-145`, `src/gpode/model_builder.py:123-170`): one
+`value_and_grad` + optax-Adam update compiled into a single XLA program per
+step; the PRNG key threads through the carry so runs are bit-reproducible.
+
+Parameter freezing (the reference's `requires_grad_(False)` on kernel
+hyperparameters and constraint scales) is an optimizer mask: gradients for
+frozen leaves are zeroed before the update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpode_tpu.utils.checkpoint import save_checkpoint
+from gpode_tpu.utils.meters import CachedAverageMeter, CachedRunningAverageMeter
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training knobs (defaults: the paper's, `train_vdp_gpode.py:56-68`)."""
+
+    num_iter: int = 5000
+    lr: float = 5e-3
+    log_freq: int = 10
+    checkpoint_every: int = 0  # 0 = no periodic checkpoints
+    warmup_iters: int = 0      # meters start after this many iters (MoCap uses 100)
+
+
+def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
+    """Boolean mask pytree: True = frozen. The predicate sees dotted key paths
+    like 'gp.kernel.raw_lengthscales' or 'constraint.raw_scale'."""
+
+    def _mask(path, leaf):
+        name = ".".join(str(getattr(p, "name", getattr(p, "key", p))) for p in path)
+        return frozen_predicate(name)
+
+    return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                    frozen_mask: Optional[Any] = None):
+    """Build a jitted step: (params, opt_state, key, *batch) -> updated state.
+
+    loss_fn(params, key, *batch) must return (loss, aux-NamedTuple).
+    """
+
+    @jax.jit
+    def step(params, opt_state, key, *batch):
+        key, sub = jax.random.split(key)
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, sub, *batch)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, terms
+
+    return step
+
+
+class Trainer:
+    """Stateful training driver with optimization-trace meters.
+
+    Meter names cover both model variants (`train_vdp_gpode.py:108-112`,
+    `train_vdp_gpode_shooting.py:119-124`); unused ones stay empty. Training
+    survives KeyboardInterrupt gracefully (finish + save), matching the
+    reference scripts' behavior.
+    """
+
+    def __init__(self, loss_fn: Callable, cfg: TrainConfig,
+                 frozen_mask: Optional[Any] = None,
+                 logger=None, checkpoint_path: Optional[str] = None):
+        self.cfg = cfg
+        self.optimizer = optax.adam(cfg.lr)
+        self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask)
+        self.logger = logger
+        self.checkpoint_path = checkpoint_path
+
+        self.loss_meter = CachedRunningAverageMeter(0.98)
+        self.observ_nll_meter = CachedRunningAverageMeter(0.98)
+        self.state_kl_meter = CachedRunningAverageMeter(0.98)
+        self.init_kl_meter = CachedRunningAverageMeter(0.98)
+        self.inducing_kl_meter = CachedRunningAverageMeter(0.98)
+        self.time_meter = CachedAverageMeter()
+
+    def _log(self, msg: str):
+        if self.logger is not None:
+            self.logger.info(msg)
+
+    def train(self, params, key, *batch, start_iter: int = 1,
+              opt_state=None):
+        """Run the loop; returns (params, opt_state, key)."""
+        opt_state = self.optimizer.init(params) if opt_state is None else opt_state
+        cfg = self.cfg
+        for itr in range(start_iter, cfg.num_iter):
+            try:
+                begin = time.time()
+                params, opt_state, key, terms = self.step_fn(
+                    params, opt_state, key, *batch)
+                loss = float(terms.loss)  # host sync doubles as step barrier
+
+                if itr > cfg.warmup_iters:
+                    self.loss_meter.update(loss, itr)
+                    self.observ_nll_meter.update(float(terms.observ_nll), itr)
+                    self.init_kl_meter.update(float(terms.x0_kl), itr)
+                    self.inducing_kl_meter.update(float(terms.inducing_kl), itr)
+                    if hasattr(terms, "state_kl"):
+                        self.state_kl_meter.update(float(terms.state_kl), itr)
+                    self.time_meter.update(time.time() - begin, itr)
+
+                    if itr % cfg.log_freq == 0:
+                        parts = [
+                            f"Iter {itr:06d}",
+                            f"Time {self.time_meter.sum:0.4f}({self.time_meter.avg:.4f})",
+                            f"Loss {self.loss_meter.val:.3f}({self.loss_meter.avg:.3f})",
+                            f"OBS NLL {self.observ_nll_meter.val:.2f}({self.observ_nll_meter.avg:.2f})",
+                        ]
+                        if hasattr(terms, "state_kl"):
+                            parts.append(f"XS KL {self.state_kl_meter.val:.2f}"
+                                         f"({self.state_kl_meter.avg:.2f})")
+                        parts.append(f"X0 KL {self.init_kl_meter.val:.2f}"
+                                     f"({self.init_kl_meter.avg:.2f})")
+                        parts.append(f"IND KL {self.inducing_kl_meter.val:.2f}"
+                                     f"({self.inducing_kl_meter.avg:.2f})")
+                        self._log(" | ".join(parts))
+
+                if (cfg.checkpoint_every and self.checkpoint_path
+                        and itr % cfg.checkpoint_every == 0):
+                    save_checkpoint(self.checkpoint_path,
+                                    {"params": params, "opt_state": opt_state,
+                                     "key": key, "step": itr})
+            except KeyboardInterrupt:
+                self._log("Stopping optimization")
+                break
+        return params, opt_state, key

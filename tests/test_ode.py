@@ -1,0 +1,116 @@
+"""ODE engine tests against closed forms and scipy reference solutions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import odeint as scipy_odeint
+
+from gpode_tpu.ops.ode import odeint, odeint_dopri5, odeint_fixed
+
+
+def _vdp(mu=0.5):
+    def f(t, y):
+        x, v = y[..., 0], y[..., 1]
+        return jnp.stack([v, -x + mu * v * (1 - x ** 2)], axis=-1)
+    return f
+
+
+def _vdp_np(y, t, mu=0.5):
+    return [y[1], -y[0] + mu * y[1] * (1 - y[0] ** 2)]
+
+
+def test_exponential_decay_exact():
+    f = lambda t, x: -x
+    ts = jnp.linspace(0.0, 2.0, 11)
+    x0 = jnp.ones((3, 2))
+    xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-6, atol=1e-8)
+    want = np.exp(-np.asarray(ts))[:, None, None] * np.ones((11, 3, 2))
+    np.testing.assert_allclose(np.asarray(xs), want, rtol=2e-4, atol=1e-5)
+    assert int(stats.num_accepted) > 0
+
+
+@pytest.mark.parametrize("solver,substeps,tol", [
+    ("euler", 64, 6e-2), ("midpoint", 16, 6e-3), ("rk4", 4, 6e-4)])
+def test_fixed_solvers_converge_on_vdp(solver, substeps, tol):
+    ts_np = np.linspace(0, 5.0, 11)
+    want = scipy_odeint(_vdp_np, [-1.5, 2.5], ts_np, rtol=1e-10, atol=1e-10)
+    xs, _ = odeint_fixed(_vdp(), jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32),
+                         jnp.asarray(ts_np, dtype=jnp.float32),
+                         solver=solver, substeps=substeps)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=tol)
+
+
+def test_dopri5_matches_scipy_on_vdp():
+    ts_np = np.linspace(0, 7.0, 25)
+    want = scipy_odeint(_vdp_np, [-1.5, 2.5], ts_np, rtol=1e-10, atol=1e-10)
+    xs, stats = odeint_dopri5(_vdp(), jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32),
+                              jnp.asarray(ts_np, dtype=jnp.float32),
+                              rtol=1e-6, atol=1e-6, max_steps=256)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=5e-3)
+    # budget sanity: adaptive, not saturated
+    assert int(stats.num_attempted) < 256
+    assert int(stats.num_rhs_evals) < 256 * 5
+
+
+def test_dopri5_backward_integration():
+    """Decreasing ts (the reference's x0-initialization path) must work."""
+    f = lambda t, x: -x
+    ts = jnp.asarray([1.0, 0.0])
+    x1 = jnp.asarray([[np.exp(-1.0)]], dtype=jnp.float32)
+    xs, _ = odeint_dopri5(f, x1, ts, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(xs[-1, 0, 0]), 1.0, rtol=1e-4)
+
+
+def test_dopri5_nonuniform_ts():
+    ts_np = np.sort(np.random.default_rng(0).uniform(0, 4.0, size=9))
+    ts_np[0] = 0.0
+    want = scipy_odeint(_vdp_np, [0.5, 0.5], ts_np, rtol=1e-10, atol=1e-10)
+    xs, _ = odeint_dopri5(_vdp(), jnp.asarray([[0.5, 0.5]], dtype=jnp.float32),
+                          jnp.asarray(ts_np, dtype=jnp.float32), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=5e-3)
+
+
+def test_gradients_through_dopri5():
+    """d/dx0 of exp-decay solution is exp(-t): autodiff-through-solver."""
+    f = lambda t, x: -x
+    ts = jnp.asarray([0.0, 1.0])
+
+    def loss(x0):
+        xs, _ = odeint_dopri5(f, x0, ts, rtol=1e-7, atol=1e-9)
+        return xs[-1, 0, 0]
+
+    g = jax.grad(loss)(jnp.ones((1, 1)))
+    np.testing.assert_allclose(float(g[0, 0]), np.exp(-1.0), rtol=1e-3)
+
+
+def test_gradients_through_rk4():
+    f = lambda t, x: -x
+    ts = jnp.asarray([0.0, 1.0])
+
+    def loss(x0):
+        xs, _ = odeint_fixed(f, x0, ts, solver="rk4", substeps=20)
+        return xs[-1, 0, 0]
+
+    g = jax.grad(loss)(jnp.ones((1, 1)))
+    np.testing.assert_allclose(float(g[0, 0]), np.exp(-1.0), rtol=1e-4)
+
+
+def test_odeint_dispatch_and_jit():
+    f = _vdp()
+    ts = jnp.linspace(0.0, 1.0, 5)
+    x0 = jnp.asarray([[0.1, 0.2]])
+    for solver in ("dopri5", "rk4", "midpoint", "euler"):
+        xs, stats = jax.jit(
+            lambda x: odeint(f, x, ts, solver=solver, substeps=8, max_steps=64)
+        )(x0)
+        assert xs.shape == (5, 1, 2)
+        assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_time_dependent_rhs():
+    f = lambda t, x: jnp.broadcast_to(2.0 * t, x.shape)
+    ts = jnp.linspace(0.0, 2.0, 9)
+    xs, _ = odeint_dopri5(f, jnp.zeros((1, 1)), ts, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0, 0], np.asarray(ts) ** 2,
+                               rtol=1e-4, atol=1e-5)
