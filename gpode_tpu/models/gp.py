@@ -143,19 +143,24 @@ def rff_eval(params: SVGPParams, omega: jax.Array, phase: jax.Array,
              weights: jax.Array, x: jax.Array) -> jax.Array:
     """Evaluate the RFF prior sample at x: (N, Din) -> (N, D).
 
-    phi(x) = cos(x omega + phase) * sqrt(variance / S); f = phi @ weights.
-    Mirrors `dsvgp.py:124-137`. Two matmuls with a fused cos epilogue — MXU
-    work at S=256 features.
+    phi(x) = cos(x omega + phase) * sqrt(2 * variance / S); f = phi @ weights.
+    Mirrors `dsvgp.py:124-137` EXCEPT the canonical sqrt(2) factor (Rahimi &
+    Recht 2007): the reference scales by sqrt(variance/S), so its prior
+    samples carry variance sigma^2/2 instead of sigma^2 — with the correct
+    factor, empirical draw covariance matches K (verified in tests against
+    the exact conditional). Two matmuls with a fused cos epilogue — MXU work
+    at S=256 features.
     """
     var = params.kernel.variance
     s = weights.shape[0]
+    scale = jnp.sqrt(2.0 * var / s)
     if params.dimwise:
-        xo = jnp.einsum("nd,dfk->nfk", x, omega, precision=om.HIGHEST)              # (N, S, D)
-        phi = jnp.cos(xo + phase) * jnp.sqrt(var / s)         # (N, S, D)
-        return jnp.einsum("nfk,fk->nk", phi, weights, precision=om.HIGHEST)         # (N, D)
-    xo = jnp.einsum("nd,df->nf", x, omega, precision=om.HIGHEST)                                           # (N, S)
-    phi = jnp.cos(xo + phase) * jnp.sqrt(var / s)             # (N, S)
-    return jnp.einsum("nf,fd->nd", phi, weights, precision=om.HIGHEST)                                     # (N, D)
+        xo = jnp.einsum("nd,dfk->nfk", x, omega, precision=om.HIGHEST)       # (N, S, D)
+        phi = jnp.cos(xo + phase) * scale                                    # (N, S, D)
+        return jnp.einsum("nfk,fk->nk", phi, weights, precision=om.HIGHEST)  # (N, D)
+    xo = jnp.einsum("nd,df->nf", x, omega, precision=om.HIGHEST)             # (N, S)
+    phi = jnp.cos(xo + phase) * scale                                        # (N, S)
+    return jnp.einsum("nf,fd->nd", phi, weights, precision=om.HIGHEST)       # (N, D)
 
 
 def draw_posterior(key: jax.Array, params: SVGPParams, num_features: int,

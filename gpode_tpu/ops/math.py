@@ -125,7 +125,12 @@ def kl_whitened_gaussian(mean: jax.Array, chol: jax.Array) -> jax.Array:
     L = jnp.tril(chol)
     mahalanobis = jnp.sum(jnp.square(mean), axis=-1)
     trace = jnp.sum(jnp.square(L), axis=(-2, -1))
-    logdet_q = tri_logdet_from_chol(L)
+    # The scale factor is a RAW parameter: its diagonal may be negative or
+    # tiny mid-optimization. log(diag^2) via log|diag| keeps the KL defined
+    # for either sign (the reference computes log(Lq_diag^2), dsvgp.py:214);
+    # the floor stops f32 underflow of diag^2 from producing -inf.
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.abs(diag) + 1e-20), axis=-1)
     two_kl = mahalanobis + trace - logdet_q - k
     return 0.5 * jnp.sum(two_kl)
 

@@ -1,0 +1,124 @@
+"""ELBO tests: term structure, finiteness, gradient flow, shooting semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpode_tpu.models import gp, gpode, shooting
+from gpode_tpu.models.flow import SolverConfig, flow_forward
+from gpode_tpu.train.builders import (ModelArgs, build_gpode, build_shooting,
+                                      gpode_loss_fn, shooting_loss_fn)
+
+_ARGS = ModelArgs(num_inducing=8, num_features=16, solver="rk4",
+                  ts_dense_scale=3, max_steps=16, num_samples=3)
+
+
+def _toy_data(n=2, t=6, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    ys = rng.normal(size=(n, t, d)).astype(np.float32) * 0.5
+    ts = np.linspace(0, 1.0, t).astype(np.float32)
+    return jnp.asarray(ys), jnp.asarray(ts)
+
+
+def test_vanilla_elbo_terms_finite_and_scaled():
+    ys, ts = _toy_data()
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    loss_fn = gpode_loss_fn(_ARGS)
+    loss, terms = loss_fn(params, jax.random.PRNGKey(1), ys, ts)
+    assert np.isfinite(float(loss))
+    # loss = obs_nll + x0_kl + ind_kl exactly (gpode/model_builder.py:46-57)
+    np.testing.assert_allclose(
+        float(loss),
+        float(terms.observ_nll + terms.x0_kl + terms.inducing_kl), rtol=1e-5)
+    # KLs are 1/num_obs-scaled: small at init
+    from gpode_tpu.models.states import initial_state_kl
+    np.testing.assert_allclose(float(terms.x0_kl),
+                               float(initial_state_kl(params.x0)) / ys.size,
+                               rtol=1e-5)
+
+
+def test_vanilla_elbo_grads_nonzero():
+    ys, ts = _toy_data()
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    loss_fn = gpode_loss_fn(_ARGS)
+    grads, _ = jax.grad(loss_fn, has_aux=True)(params, jax.random.PRNGKey(1), ys, ts)
+    for name in ("z", "u_mean", "u_tril"):
+        g = getattr(grads.gp, name)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.sum(jnp.abs(g))) > 0, name
+    assert float(jnp.sum(jnp.abs(grads.x0.mean))) > 0
+    assert float(jnp.sum(jnp.abs(grads.likelihood.raw_variance))) > 0
+
+
+def test_shooting_elbo_terms_and_grads():
+    ys, ts = _toy_data(t=8)
+    params = build_shooting(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    loss_fn = shooting_loss_fn(_ARGS)
+    (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, jax.random.PRNGKey(1), ys, ts)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(
+        float(loss),
+        float(terms.observ_nll + terms.state_kl + terms.x0_kl + terms.inducing_kl),
+        rtol=1e-4)
+    assert float(jnp.sum(jnp.abs(grads.states.mean))) > 0
+    assert float(jnp.sum(jnp.abs(grads.gp.u_mean))) > 0
+
+
+def test_shooting_segment_integration_matches_full_for_exact_states():
+    """If shooting states equal the true trajectory at observation times,
+    segment endpoints must land on the next observation (up to solver error) —
+    the continuity semantics of `gpode_shooting/models.py:119-135`."""
+    key = jax.random.PRNGKey(3)
+    ys, ts = _toy_data(n=1, t=6)
+    params = build_shooting(key, _ARGS, np.asarray(ys))
+    cfg = _ARGS.solver_config()
+
+    draw = gp.draw_posterior(jax.random.PRNGKey(9), params.gp, 16)
+    # roll the true flow from one state
+    x0 = jnp.asarray([[0.3, -0.2]])
+    full, _ = flow_forward(params.gp, draw, x0, ts, cfg)      # (1, T, D)
+
+    # use the flow states as shooting states; integrate each one interval
+    ss = full[None]                                            # (S=1, 1, T, D)
+    pred, _ = shooting.integrate_segments(params.gp, draw, ss, ts[:2], cfg)
+    np.testing.assert_allclose(np.asarray(pred[0, 0, :-1]),
+                               np.asarray(full[0, 1:]), atol=2e-4)
+
+
+def test_vanilla_predict_shapes_and_spread():
+    ys, ts = _toy_data()
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    cfg = _ARGS.solver_config()
+    pred = gpode.predict(jax.random.PRNGKey(5), params, ts, cfg, 16, num_draws=6)
+    assert pred.shape == (6,) + ys.shape
+    # draws differ (distinct function samples + x0 samples)
+    assert float(jnp.std(pred[:, :, -1, :])) > 0
+
+    x0 = ys[:, 0]
+    pred2 = gpode.predict(jax.random.PRNGKey(6), params, ts, cfg, 16,
+                          num_draws=4, x0=x0)
+    assert pred2.shape == (4,) + ys.shape
+    # fixed x0: all draws start exactly there
+    np.testing.assert_allclose(np.asarray(pred2[:, :, 0]),
+                               np.broadcast_to(np.asarray(x0), (4,) + x0.shape),
+                               rtol=1e-5)
+
+
+def test_elbo_decreases_under_training_steps():
+    """A few Adam steps on the vanilla ELBO should reduce the loss."""
+    import optax
+    from gpode_tpu.train.trainer import make_train_step
+    ys, ts = _toy_data(t=5)
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    loss_fn = gpode_loss_fn(_ARGS)
+    opt = optax.adam(1e-2)
+    step = make_train_step(loss_fn, opt)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(7)
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
+        losses.append(float(terms.loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
