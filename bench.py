@@ -1,0 +1,138 @@
+"""Benchmark: MoCap shooting-GPODE training throughput (ELBO steps/sec).
+
+The BASELINE.md headline scenario: CMU MoCap subject 09, seqlen 100, 5 PCA
+latents, 100 inducing points, 256 RFF features, 5 MC draws/step, dopri5 —
+the full training step (posterior draw -> Cholesky -> whitened solves ->
+599-segment parallel integration -> 5-term ELBO -> grad -> Adam) compiled to
+one XLA program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+`vs_baseline` is measured against the same step on the host CPU (the
+reference implementation is CPU/single-GPU torch+torchdiffeq; torchdiffeq is
+not installable here, so the single-core CPU run of this step stands in as
+the conservative baseline — the reference's Python-loop stepping is strictly
+slower than one compiled CPU XLA program).
+
+Usage: python bench.py [--platform cpu] [--iters N] [--no-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def measure_steps_per_sec(iters: int = 30, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
+    from gpode_tpu.models.init import initialize_inducing, initialize_kernel_parameters
+    from gpode_tpu.train.builders import (ModelArgs, build_shooting,
+                                          shooting_loss_fn)
+    from gpode_tpu.train.trainer import make_train_step
+
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data/mocap")
+    data_pca = MocapDataset(data_path=data_dir, subject="09", pca_components=5,
+                            data_normalize=False, pca_normalize=True, seqlen=100)
+    data_full = MocapDataset(data_path=data_dir, subject="09", pca_components=-1,
+                             data_normalize=False, pca_normalize=False, seqlen=100)
+    projector = latent_to_data_projector(data_pca)
+
+    args = ModelArgs(num_inducing=100, num_features=256, dimwise=True,
+                     solver="dopri5", ts_dense_scale=2, max_steps=16,
+                     num_samples=5)
+
+    params = build_shooting(jax.random.PRNGKey(0), args, data_pca.trn.ys,
+                            projector=projector,
+                            full_dim=data_full.trn.ys.shape[-1])
+    params = params._replace(gp=initialize_kernel_parameters(params.gp))
+    params = params._replace(gp=initialize_inducing(
+        params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0,
+        rng=np.random.RandomState(0)))
+
+    ys = jnp.asarray(data_full.trn.ys)      # likelihood scored in 50-D data space
+    ts = jnp.asarray(data_pca.trn.ts)
+
+    loss_fn = shooting_loss_fn(args)
+    opt = optax.adam(5e-3)
+    step = make_train_step(loss_fn, opt)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # warmup: compile + settle (host fetch = hard sync; block_until_ready is
+    # not a reliable barrier through the axon tunnel)
+    for _ in range(warmup):
+        params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
+    float(terms.loss)
+
+    begin = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
+    final_loss = float(terms.loss)  # forces completion of the whole chain
+    elapsed = time.perf_counter() - begin
+
+    steps_per_sec = iters / elapsed
+    nfe = int(terms.nfe)
+    # rhs batch = num_samples * N * T segments integrated per step
+    segments = args.num_samples * ys.shape[0] * ys.shape[1]
+    return {
+        "steps_per_sec": steps_per_sec,
+        "rhs_evals_per_sec": steps_per_sec * nfe * segments,
+        "loss": final_loss,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX platform (e.g. cpu)")
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--no-baseline", action="store_true")
+    parser.add_argument("--json-only", action="store_true")
+    cli = parser.parse_args()
+
+    if cli.platform:
+        import jax
+        jax.config.update("jax_platforms", cli.platform)
+
+    result = measure_steps_per_sec(iters=cli.iters)
+
+    vs_baseline = 1.0
+    cpu_steps = None
+    if not cli.no_baseline and result["platform"] != "cpu":
+        # measure the CPU baseline in a subprocess (fresh backend)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--platform", "cpu",
+                 "--iters", "5", "--no-baseline", "--json-only"],
+                capture_output=True, text=True, timeout=1800, check=True)
+            cpu = json.loads(out.stdout.strip().splitlines()[-1])
+            cpu_steps = cpu["value"]
+            vs_baseline = result["steps_per_sec"] / cpu_steps
+        except Exception:
+            vs_baseline = 1.0
+
+    payload = {
+        "metric": "mocap_shooting_elbo_steps_per_sec",
+        "value": round(result["steps_per_sec"], 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs_baseline, 4),
+        "rhs_evals_per_sec": round(result["rhs_evals_per_sec"], 1),
+        "platform": result["platform"],
+        "cpu_baseline_steps_per_sec": cpu_steps,
+        "final_loss": round(result["loss"], 4),
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

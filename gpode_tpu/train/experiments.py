@@ -1,0 +1,308 @@
+"""End-to-end experiment drivers for the four training scenarios.
+
+Rebuilds the reference's top-level script bodies (`train_vdp_gpode.py:71-180`,
+`train_vdp_gpode_shooting.py:83-197`, `train_mocap_gpode.py:75-264`,
+`train_mocap_gpode_shooting.py`) as reusable functions: data -> build ->
+initialize -> train -> evaluate -> plots -> artifact dump. The CLI wrappers in
+`scripts/` stay thin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
+from gpode_tpu.data.vanderpol import VanderPol
+from gpode_tpu.models import gpode
+from gpode_tpu.models.init import (initialize_inducing,
+                                   initialize_kernel_parameters,
+                                   initialize_latents_with_data,
+                                   initialize_noisevar,
+                                   initialize_shooting_states_with_data)
+from gpode_tpu.models.likelihoods import project
+from gpode_tpu.train.builders import (ModelArgs, build_gpode, build_shooting,
+                                      default_frozen_predicate, gpode_loss_fn,
+                                      shooting_loss_fn)
+from gpode_tpu.train.metrics import compute_summary
+from gpode_tpu.train.trainer import (TrainConfig, Trainer, build_frozen_mask)
+from gpode_tpu.utils import io as io_utils
+from gpode_tpu.utils.checkpoint import save_checkpoint
+
+
+@dataclasses.dataclass
+class ExperimentArgs:
+    """Union of the reference CLIs' knobs with the paper defaults."""
+
+    # model (`train_vdp_gpode.py:29-38`)
+    num_features: int = 256
+    num_inducing: int = 16
+    dimwise: bool = True
+    q_diag: bool = False
+    # constraints (shooting only, `train_vdp_gpode_shooting.py:41-46`)
+    constraint_type: str = "gauss"
+    constraint_trainable: bool = False
+    constraint_initial_scale: float = 1e-3
+    # data (`train_vdp_gpode.py:40-46`; mocap `train_mocap_gpode.py:47-52`)
+    data_obs_s: int = 25
+    data_obs_t: float = 7.0
+    data_obs_noise_var: float = 0.05
+    data_subject: str = "09"
+    data_seqlen: int = 100
+    num_latents: int = 5
+    data_path: str = "data/mocap"
+    # solver (`train_vdp_gpode.py:48-53`)
+    solver: str = "dopri5"
+    ts_dense_scale: int = 4
+    rtol: float = 1e-6
+    atol: float = 1e-6
+    max_steps: int = 64
+    # training (`train_vdp_gpode.py:56-68`)
+    num_iter: int = 5000
+    num_samples: int = 5
+    lr: float = 5e-3
+    eval_sample_size: int = 128
+    save: str = "results/run"
+    seed: int = 121
+    log_freq: int = 10
+    checkpoint_every: int = 1000
+    plots: bool = True
+
+    def model_args(self) -> ModelArgs:
+        return ModelArgs(
+            num_features=self.num_features, num_inducing=self.num_inducing,
+            dimwise=self.dimwise, q_diag=self.q_diag, solver=self.solver,
+            ts_dense_scale=self.ts_dense_scale, rtol=self.rtol, atol=self.atol,
+            max_steps=self.max_steps, num_samples=self.num_samples,
+            constraint_type=self.constraint_type,
+            constraint_trainable=self.constraint_trainable,
+            constraint_initial_scale=self.constraint_initial_scale)
+
+
+def _setup_run(args: ExperimentArgs, name: str):
+    io_utils.makedirs(args.save)
+    logger = io_utils.get_logger(os.path.join(args.save, "logs"), name=name)
+    io_utils.save_args(args, os.path.join(args.save, "train_args.json"))
+    return logger
+
+
+def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
+                  eval_sample_size):
+    """VDP-style evaluation: extrapolation scored beyond the train horizon
+    (`train_vdp_gpode.py:149-162`)."""
+    t_train = data.trn.ys.shape[1]
+    test_ts = jnp.asarray(data.tst.ts)
+    train_ts = jnp.asarray(data.trn.ts)
+
+    x0_post = params.states.x0 if shooting_variant else params.x0
+    vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
+                                likelihood=params.likelihood)
+    k1, k2 = jax.random.split(key)
+    test_pred = np.asarray(gpode.predict(k1, vparams, test_ts, cfg,
+                                         margs.num_features,
+                                         num_draws=eval_sample_size))
+    train_pred = np.asarray(gpode.predict(k2, vparams, train_ts, cfg,
+                                          margs.num_features,
+                                          num_draws=eval_sample_size))
+    noise_var = np.asarray(params.likelihood.variance)
+    train_ll, train_mse = compute_summary(data.trn.ys, train_pred, noise_var)
+    test_ll, test_mse = compute_summary(data.tst.ys[:, t_train:],
+                                        test_pred[:, :, t_train:], noise_var)
+    logger.info(f"[TRAIN] LL {train_ll:.3f} | MSE {train_mse:.3f}")
+    logger.info(f"[TEST]  LL {test_ll:.3f} | MSE {test_mse:.3f}")
+    logger.info(f"Kernel lengthscales {np.asarray(params.gp.kernel.lengthscales)}")
+    logger.info(f"Kernel variance {np.asarray(params.gp.kernel.variance)}")
+    logger.info(f"Observation likelihood variance {noise_var}")
+    return train_pred, test_pred, dict(train_ll=train_ll, train_mse=train_mse,
+                                       test_ll=test_ll, test_mse=test_mse)
+
+
+def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
+    """VDP experiment, vanilla or shooting (`train_vdp_gpode[_shooting].py`)."""
+    name = "vdp_gpode_shooting" if shooting_variant else "vdp_gpode"
+    logger = _setup_run(args, name)
+    key = jax.random.PRNGKey(args.seed)
+
+    n_ahead = args.data_obs_s if not shooting_variant else 50
+    data = VanderPol(
+        s_train=args.data_obs_s, t_train=args.data_obs_t,
+        s_test=args.data_obs_s + n_ahead,
+        t_test=args.data_obs_t * (args.data_obs_s + n_ahead - 1) / (args.data_obs_s - 1),
+        noise_var=args.data_obs_noise_var,
+        x0=np.array([[-1.5, 2.5]]), mu=0.5)
+
+    margs = args.model_args()
+    cfg = margs.solver_config()
+    rng = np.random.RandomState(args.seed)
+    k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
+
+    if shooting_variant:
+        params = build_shooting(k_build, margs, data.trn.ys)
+        params = params._replace(gp=initialize_inducing(
+            params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
+        params = initialize_shooting_states_with_data(
+            k_init, params, data.trn.ys, data.trn.ts, cfg, margs.num_features)
+        loss_fn = shooting_loss_fn(margs)
+        frozen = build_frozen_mask(params, default_frozen_predicate(margs))
+    else:
+        params = build_gpode(k_build, margs, data.trn.ys)
+        params = params._replace(gp=initialize_inducing(
+            params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
+        params = initialize_latents_with_data(
+            k_init, params, data.trn.ys, data.trn.ts, cfg, margs.num_features)
+        loss_fn = gpode_loss_fn(margs)
+        frozen = None
+
+    trainer = Trainer(loss_fn,
+                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                  log_freq=args.log_freq,
+                                  checkpoint_every=args.checkpoint_every),
+                      frozen_mask=frozen, logger=logger,
+                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
+    params, opt_state, _ = trainer.train(params, k_train,
+                                         jnp.asarray(data.trn.ys),
+                                         jnp.asarray(data.trn.ts))
+    logger.info("********** Optimization completed **********")
+    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                    {"params": params, "opt_state": opt_state,
+                     "step": args.num_iter})
+
+    train_pred, test_pred, metrics = _eval_and_log(
+        logger, data, params, margs, cfg, k_eval, shooting_variant,
+        args.eval_sample_size)
+
+    np.savez(os.path.join(args.save, "model_predictions.npz"),
+             train_ts=data.trn.ts, train_ys=data.trn.ys, train_pred=train_pred,
+             test_ts=data.tst.ts, test_ys=data.tst.ys, test_pred=test_pred,
+             obs_noisevar=np.asarray(params.likelihood.variance))
+
+    if args.plots:
+        from gpode_tpu.plots import plots_2d
+        plots_2d.plot_longitudinal(data, test_pred,
+                                   np.asarray(params.likelihood.variance), args.save)
+        plots_2d.plot_vectorfield(params.gp, data, test_pred, args.save)
+        plots_2d.plot_inducing_posterior(params.gp, data, args.save)
+        plots_2d.plot_trace(trainer, args.save)
+    return params, trainer, metrics
+
+
+def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
+    """MoCap experiment (`train_mocap_gpode[_shooting].py`): dynamics in PCA
+    latent space, likelihood in 50-D data space."""
+    name = "mocap_gpode_shooting" if shooting_variant else "mocap_gpode"
+    logger = _setup_run(args, name)
+    key = jax.random.PRNGKey(args.seed)
+
+    data_pca = MocapDataset(data_path=args.data_path, subject=args.data_subject,
+                            pca_components=args.num_latents,
+                            data_normalize=False, pca_normalize=True,
+                            dt=0.01, seqlen=args.data_seqlen)
+    data_full = MocapDataset(data_path=args.data_path, subject=args.data_subject,
+                             pca_components=-1, data_normalize=False,
+                             pca_normalize=False, dt=0.01, seqlen=args.data_seqlen)
+    projector = latent_to_data_projector(data_pca)
+    d_full = data_full.trn.ys.shape[-1]
+
+    margs = args.model_args()
+    cfg = margs.solver_config()
+    rng = np.random.RandomState(args.seed)
+    k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
+
+    builder = build_shooting if shooting_variant else build_gpode
+    params = builder(k_build, margs, data_pca.trn.ys, projector=projector,
+                     full_dim=d_full)
+    params = params._replace(gp=initialize_kernel_parameters(
+        params.gp, lengthscale_value=1.25, variance_value=0.5))
+    params = params._replace(gp=initialize_inducing(
+        params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0, rng=rng))
+    if shooting_variant:
+        params = initialize_shooting_states_with_data(
+            k_init, params, data_pca.trn.ys, data_pca.trn.ts, cfg,
+            margs.num_features)
+        x0_post = params.states.x0
+    else:
+        params = initialize_latents_with_data(
+            k_init, params, data_pca.trn.ys, data_pca.trn.ts, cfg,
+            margs.num_features)
+        x0_post = params.x0
+
+    # noise init from residual variance of initial predictions
+    # (`train_mocap_gpode.py:125-131`)
+    vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
+                                likelihood=params.likelihood)
+    init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts), cfg,
+                            margs.num_features, num_draws=16)
+    init_ys = np.asarray(project(projector, init_zs))
+    resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
+    params = params._replace(likelihood=initialize_noisevar(
+        params.likelihood, 1.5 * resid_var))
+
+    loss_fn = shooting_loss_fn(margs) if shooting_variant else gpode_loss_fn(margs)
+    frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
+              if shooting_variant else None)
+    trainer = Trainer(loss_fn,
+                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                  log_freq=args.log_freq, warmup_iters=100,
+                                  checkpoint_every=args.checkpoint_every),
+                      frozen_mask=frozen, logger=logger,
+                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
+    params, opt_state, _ = trainer.train(params, k_train,
+                                         jnp.asarray(data_full.trn.ys),
+                                         jnp.asarray(data_pca.trn.ts))
+    logger.info("********** Optimization completed **********")
+    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                    {"params": params, "opt_state": opt_state,
+                     "step": args.num_iter})
+
+    # evaluation from observed first latent states (`train_mocap_gpode.py:187-218`)
+    x0_post = params.states.x0 if shooting_variant else params.x0
+    vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
+                                likelihood=params.likelihood)
+    k1, k2 = jax.random.split(k_eval)
+    train_pred_zs = np.asarray(gpode.predict(
+        k1, vparams, jnp.asarray(data_pca.trn.ts), cfg, margs.num_features,
+        num_draws=args.eval_sample_size, x0=jnp.asarray(data_pca.trn.ys[:, 0])))
+    test_pred_zs = np.asarray(gpode.predict(
+        k2, vparams, jnp.asarray(data_pca.tst.ts), cfg, margs.num_features,
+        num_draws=args.eval_sample_size, x0=jnp.asarray(data_pca.tst.ys[:, 0])))
+    train_pred_ys = np.asarray(project(projector, jnp.asarray(train_pred_zs)))
+    test_pred_ys = np.asarray(project(projector, jnp.asarray(test_pred_zs)))
+
+    noise_var = np.asarray(params.likelihood.variance)
+    train_ll, train_mse = compute_summary(data_full.trn.ys, train_pred_ys, noise_var)
+    test_ll, test_mse = compute_summary(data_full.tst.ys, test_pred_ys, noise_var)
+    logger.info(f"[TRAIN] LL {train_ll:.3f} | MSE {train_mse:.3f}")
+    logger.info(f"[TEST]  LL {test_ll:.3f} | MSE {test_mse:.3f}")
+
+    np.savez(os.path.join(args.save, "model_predictions.npz"),
+             train_pred_zs=train_pred_zs, train_pred_ys=train_pred_ys,
+             test_pred_zs=test_pred_zs, test_pred_ys=test_pred_ys,
+             obs_noisevar=noise_var)
+
+    if args.plots:
+        from gpode_tpu.plots import plots_mocap
+        plots_mocap.plot_pca_predictions(data_pca.trn.ys, train_pred_zs,
+                                         data_pca.trn.ts, args.save,
+                                         name="plt_latents_after_optimization_train")
+        plots_mocap.plot_data_predictions(data_full.trn.ys, train_pred_ys,
+                                          data_pca.trn.ts, args.save,
+                                          name="plt_data_after_optimization_train")
+        plots_mocap.plot_pca_predictions(data_pca.tst.ys, test_pred_zs,
+                                         data_pca.tst.ts, args.save,
+                                         name="plt_latents_after_optimization_test")
+        plots_mocap.plot_data_predictions(data_full.tst.ys, test_pred_ys,
+                                          data_pca.tst.ts, args.save,
+                                          name="plt_data_after_optimization_test")
+        plots_mocap.plot_inducing_posterior_3d(params.gp, train_pred_zs,
+                                               args.save,
+                                               name="inducing_posterior_train")
+        plots_mocap.plot_trace(trainer, args.save)
+    metrics = dict(train_ll=train_ll, train_mse=train_mse,
+                   test_ll=test_ll, test_mse=test_mse)
+    return params, trainer, metrics

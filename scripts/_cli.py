@@ -1,0 +1,88 @@
+"""Shared CLI plumbing for the training scripts.
+
+Flag names track the reference scripts (`train_vdp_gpode.py:26-68` etc.) so a
+reference user can reuse their command lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gpode_tpu.train.builders import CONSTRAINTS, SOLVERS  # noqa: E402
+from gpode_tpu.train.experiments import ExperimentArgs  # noqa: E402
+
+
+def _str2bool(v):
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description)
+    p.add_argument("--num_features", type=int, default=256,
+                   help="Number of Fourier basis functions (pathwise GP sampling)")
+    p.add_argument("--num_inducing", type=int, default=16,
+                   help="Number of inducing points for the sparse GP")
+    p.add_argument("--dimwise", type=_str2bool, default=True,
+                   help="Separate lengthscales for every output dimension")
+    p.add_argument("--q_diag", type=_str2bool, default=False,
+                   help="Diagonal posterior approximation for inducing variables")
+    p.add_argument("--solver", type=str, default="dopri5", choices=SOLVERS,
+                   help="ODE solver for numerical integration")
+    p.add_argument("--ts_dense_scale", type=int, default=4,
+                   help="Dense integration grid factor (fixed-step solvers)")
+    p.add_argument("--max_steps", type=int, default=64,
+                   help="Adaptive-solver step budget per solve")
+    p.add_argument("--num_iter", type=int, default=5000,
+                   help="Number of gradient steps")
+    p.add_argument("--lr", type=float, default=0.005, help="Adam learning rate")
+    p.add_argument("--eval_sample_size", type=int, default=128,
+                   help="Posterior samples for predictive evaluation")
+    p.add_argument("--save", type=str, default="results/run",
+                   help="Output directory")
+    p.add_argument("--seed", type=int, default=121, help="Global seed")
+    p.add_argument("--log_freq", type=int, default=10, help="Logging frequency")
+    p.add_argument("--no_plots", action="store_true", help="Skip diagnostics plots")
+    return p
+
+
+def add_vdp_flags(p: argparse.ArgumentParser):
+    p.add_argument("--data_obs_S", type=int, default=25, dest="data_obs_s",
+                   help="Training sequence length")
+    p.add_argument("--data_obs_T", type=float, default=7.0, dest="data_obs_t",
+                   help="Training integration time")
+    p.add_argument("--data_obs_noise_var", type=float, default=0.05,
+                   help="Observation noise variance for simulation")
+
+
+def add_mocap_flags(p: argparse.ArgumentParser):
+    p.add_argument("--data_subject", type=str, default="09",
+                   choices=("09", "35", "39"), help="MoCap subject")
+    p.add_argument("--data_seqlen", type=int, default=100,
+                   help="Training sequence length")
+    p.add_argument("--num_latents", type=int, default=5,
+                   help="Latent (PCA) dimensionality")
+    p.add_argument("--data_path", type=str, default="data/mocap")
+
+
+def add_shooting_flags(p: argparse.ArgumentParser):
+    p.add_argument("--constraint_type", type=str, default="gauss",
+                   choices=CONSTRAINTS, help="Shooting-constraint density")
+    p.add_argument("--constraint_trainable", type=_str2bool, default=False,
+                   help="Learn the constraint scale")
+    p.add_argument("--constraint_initial_scale", type=float, default=1e-3,
+                   help="Constraint scale init")
+    p.add_argument("--num_samples", type=int, default=5,
+                   help="Reparameterized MC samples per gradient step")
+
+
+def to_experiment_args(ns: argparse.Namespace) -> ExperimentArgs:
+    args = ExperimentArgs()
+    for field in vars(args):
+        if hasattr(ns, field):
+            setattr(args, field, getattr(ns, field))
+    args.plots = not getattr(ns, "no_plots", False)
+    return args
