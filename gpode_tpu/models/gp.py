@@ -196,6 +196,21 @@ def draw_posterior(key: jax.Array, params: SVGPParams, num_features: int,
     return PosteriorDraw(omega=omega, phase=phase, weights=weights, nu=nu)
 
 
+# Pallas fast path for the dimwise rhs; toggled globally (trace-time static).
+_USE_PALLAS_RHS = False
+
+
+def set_pallas_rhs(enabled: bool):
+    """Route dimwise `eval_draw` through the fused Pallas kernel (TPU only).
+
+    The kernel keeps the (N,S) feature and (N,M) Gram tiles in VMEM instead
+    of round-tripping them through HBM; backward recomputes via the XLA path
+    (see `gpode_tpu.ops.pallas_kernels.fused_rhs`).
+    """
+    global _USE_PALLAS_RHS
+    _USE_PALLAS_RHS = enabled
+
+
 def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array) -> jax.Array:
     """Evaluate the sampled vector field f(x): (N, Din) -> (N, D).
 
@@ -203,6 +218,11 @@ def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array) -> jax.Arra
     pathwise update nu^T K(Z, x). Deterministic given the draw, so an entire
     ODE solve traces into one XLA program.
     """
+    if _USE_PALLAS_RHS and params.dimwise and jax.default_backend() == "tpu":
+        from gpode_tpu.ops.pallas_kernels import fused_rhs
+        return fused_rhs(x, params.z, params.kernel.lengthscales,
+                         params.kernel.variance, draw.omega, draw.phase,
+                         draw.weights, draw.nu)
     f_prior = rff_eval(params, draw.omega, draw.phase, draw.weights, x)
     kuf = rbf_K(params.kernel, params.z, x)                     # (M, N) or (D, M, N)
     if params.dimwise:

@@ -204,7 +204,8 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         return direction * f(t0 + direction * tau, x)
 
     f0 = f_tau(0.0, x0)
-    dt0 = _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol)
+    dt0 = jax.lax.stop_gradient(
+        _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol))
 
     num_t = ts.shape[0]
     out0 = jnp.zeros((num_t,) + x0.shape, dtype=x0.dtype)
@@ -218,16 +219,27 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         tau, x, k1, dt, out, covered, nfe, nacc, natt = carry
         done = tau >= tau_final
 
-        x_new, err, k7 = _dopri5_step(f_tau, tau, x, dt, k1)
+        # Real branch skip: once the trajectory is covered, the remaining
+        # budget iterations cost one select, not 6 rhs evaluations. (Under
+        # vmap, cond lowers to select and both branches run — acceptable on
+        # the forward-only eval paths that vmap whole solves.)
+        x_new, err, k7 = jax.lax.cond(
+            done,
+            lambda: (x, jnp.zeros_like(x), k1),
+            lambda: _dopri5_step(f_tau, tau, x, dt, k1))
         scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
-        err_ratio = _rms(err / scale)
+        # The controller's decisions (accept/reject, next dt) are treated as
+        # non-differentiable: gradients flow only through solution values.
+        # This also kills the NaN cobweb from err^(-1/5) at err == 0 (the
+        # masked no-op branch) leaking through `where` gradients.
+        err_ratio = jax.lax.stop_gradient(_rms(err / scale))
         accept = err_ratio <= 1.0
 
         # torchdiffeq `_optimal_step_size`: never shrink an accepted step.
         factor = _SAFETY * (err_ratio + 1e-30) ** (-1.0 / _ORDER)
         factor = jnp.where(accept, jnp.maximum(factor, 1.0), factor)
         factor = jnp.clip(factor, _DFACTOR, _IFACTOR)
-        dt_next = jnp.where(done, dt, dt * factor)
+        dt_next = jax.lax.stop_gradient(jnp.where(done, dt, dt * factor))
 
         step_taken = accept & ~done
         tau_next = jnp.where(step_taken, tau + dt, tau)

@@ -1,0 +1,232 @@
+"""Pallas TPU kernels for the hot GPODE ops.
+
+Two kernels, both built around the observation that GPODE's input dimension
+is tiny (Din = 2..10) while the segment batch is large (N = thousands):
+
+  * :func:`rbf_gram_pallas` — fused dimwise RBF Gram assembly K (D, N, M):
+    the scaled squared distance accumulates as Din broadcasted outer
+    differences on the VPU (no MXU needed at Din ~ 5 — a matmul would waste
+    the systolic array on a contraction dim of 5) with the exp/variance
+    epilogue fused in, so no intermediate squared-distance tensor touches HBM.
+
+  * :func:`fused_rhs` — the ENTIRE decoupled-sampling ODE right-hand side
+    f(x) = cos(x Omega + phase) * scale @ w  +  nu^T K(Z, x)
+    in one kernel: the (TN, S) feature tile and the (TN, M) Gram tile live
+    only in VMEM; HBM sees just x in and f out (N*D floats instead of the
+    XLA path's (N,S,D) features + (D,M,N) Gram round trips — the dominant
+    HBM traffic of the reference's hot loop, `dsvgp.py:124-197`).
+
+Layout: grid over N tiles only; the tiny D axis is a static loop inside the
+kernel (keeps every BlockSpec's trailing dims either 8/128-aligned or equal
+to the full array — the Mosaic lowering requirement — and loads x once per
+tile for all output dims). Small parameter tensors (Z, inv-lengthscales,
+omega, phases, weights, nu) replicate into VMEM whole.
+
+Both kernels expose custom VJPs whose backward recomputes through the jnp
+reference path, so they are drop-in for training; the forward (the larger
+share of solver cost under autodiff-through-solver) takes the fused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_N = 512
+
+
+def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _full_spec(shape):
+    """Whole-array VMEM block, replicated to every program."""
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda ni: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _sqdist_tile(x, z, inv_ls_row):
+    """(TN, M) scaled squared distances via Din outer differences (VPU)."""
+    din = x.shape[1]
+    acc = jnp.zeros((x.shape[0], z.shape[0]), dtype=jnp.float32)
+    for k in range(din):
+        xk = (x[:, k] * inv_ls_row[k])[:, None]
+        zk = (z[:, k] * inv_ls_row[k])[None, :]
+        diff = xk - zk
+        acc = acc + diff * diff
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Fused dimwise RBF Gram: K[d] = var[d] * exp(-0.5 * ||x/ls_d - z/ls_d||^2)
+# ---------------------------------------------------------------------------
+
+def _rbf_gram_kernel(x_ref, z_ref, inv_ls_ref, var_ref, out_ref):
+    """One n-tile program: out (D, TN, M) for all output dims."""
+    d_out = inv_ls_ref.shape[0]
+    x = x_ref[:]                       # (TN, Din)
+    z = z_ref[:]                       # (M, Din)
+    for d in range(d_out):             # static tiny loop over output dims
+        acc = _sqdist_tile(x, z, inv_ls_ref[d])
+        out_ref[d] = var_ref[d, 0] * jnp.exp(-0.5 * acc)
+
+
+def rbf_gram_pallas(x: jax.Array, z: jax.Array, lengthscales: jax.Array,
+                    variance: jax.Array, *, tile_n: int = DEFAULT_TILE_N,
+                    interpret: bool = False) -> jax.Array:
+    """Dimwise Gram K (D, N, M) for x (N, Din), z (M, Din), ls (D, Din), var (D,)."""
+    n, din = x.shape
+    m = z.shape[0]
+    d = lengthscales.shape[0]
+    tile_n = min(tile_n, max(8, n))
+    x_p = _pad_rows(x, tile_n)
+    n_pad = x_p.shape[0]
+    inv_ls = (1.0 / lengthscales).astype(jnp.float32)          # (D, Din)
+    var2d = variance.reshape(d, 1).astype(jnp.float32)         # (D, 1)
+
+    out = pl.pallas_call(
+        _rbf_gram_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec((m, din)),
+            _full_spec((d, din)),
+            pl.BlockSpec((d, 1), lambda ni: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((d, tile_n, m), lambda ni: (0, ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(x_p, z, inv_ls, var2d)
+    return out[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused decoupled-sampling rhs: f = rff_prior(x) + nu^T K(Z, x)
+# ---------------------------------------------------------------------------
+
+def _fused_rhs_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref, phase_ref,
+                      w_ref, nu_ref, out_ref):
+    """One n-tile program -> out (TN, D).
+
+    VMEM residents per output dim: phi (TN, S), gram (TN, M) — never in HBM.
+    """
+    d_out = inv_ls_ref.shape[0]
+    s = omega_ref.shape[2]
+    x = x_ref[:]                                   # (TN, Din)
+    z = z_ref[:]                                   # (M, Din)
+    cols = []
+    for d in range(d_out):                         # static tiny loop
+        # RFF prior sample: cos(x @ omega_d + phase_d) * scale @ w_d.
+        # The final contractions have output-dim 1; Mosaic can't lower such
+        # matvecs (non-constant accumulator), so they run as VPU
+        # multiply-reduce along lanes instead of MXU dots.
+        xo = jnp.dot(x, omega_ref[d], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        scale = jnp.sqrt(2.0 * var_ref[d, 0] / s)
+        phi = jnp.cos(xo + phase_ref[d]) * scale              # (TN, S)
+        f_prior = jnp.sum(phi * w_ref[d], axis=1, keepdims=True)  # (TN, 1)
+
+        # pathwise update: K_d(x, Z) @ nu_d
+        gram = var_ref[d, 0] * jnp.exp(-0.5 * _sqdist_tile(x, z, inv_ls_ref[d]))
+        f_update = jnp.sum(gram * nu_ref[d], axis=1, keepdims=True)  # (TN, 1)
+        cols.append(f_prior + f_update)
+    out_ref[:] = jnp.concatenate(cols, axis=1)     # (TN, D)
+
+
+def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
+                       *, tile_n: int, interpret: bool) -> jax.Array:
+    n, din = x.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    tile_n = min(tile_n, max(8, n))
+    x_p = _pad_rows(x, tile_n)
+    n_pad = x_p.shape[0]
+
+    inv_ls = (1.0 / lengthscales).astype(jnp.float32)       # (D, Din)
+    var2d = variance.reshape(d, 1).astype(jnp.float32)
+    omega_t = jnp.moveaxis(omega, -1, 0)                    # (D, Din, S)
+    phase_t = jnp.moveaxis(phase, -1, 0)                    # (D, 1, S)
+    w_t = weights.T[:, None, :]                             # (D, 1, S)
+    nu_t = nu[:, None, :]                                   # (D, 1, M)
+
+    out = pl.pallas_call(
+        _fused_rhs_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec((m, din)),
+            _full_spec((d, din)),
+            pl.BlockSpec((d, 1), lambda ni: (0, 0), memory_space=pltpu.SMEM),
+            _full_spec((d, din, s)),
+            _full_spec((d, 1, s)),
+            _full_spec((d, 1, s)),
+            _full_spec((d, 1, m)),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda ni: (ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
+    return out[:n]                                           # (N, D)
+
+
+def _rhs_reference_jnp(x, z, lengthscales, variance, omega, phase, weights, nu):
+    """jnp reference implementation (mirrors models/gp rff_eval + eval_draw for
+    the dimwise case); used for the custom-VJP backward recompute."""
+    s = weights.shape[0]
+    xo = jnp.einsum("nd,dfk->nfk", x, omega,
+                    precision=jax.lax.Precision.HIGHEST)
+    phi = jnp.cos(xo + phase) * jnp.sqrt(2.0 * variance / s)
+    f_prior = jnp.einsum("nfk,fk->nk", phi, weights,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    xd = x[None, :, :] / lengthscales[:, None, :]
+    zd = z[None, :, :] / lengthscales[:, None, :]
+    sq = (jnp.sum(xd * xd, -1)[:, :, None] + jnp.sum(zd * zd, -1)[:, None, :]
+          - 2.0 * jnp.einsum("dnk,dmk->dnm", xd, zd,
+                             precision=jax.lax.Precision.HIGHEST))
+    gram = variance[:, None, None] * jnp.exp(-0.5 * sq)      # (D, N, M)
+    f_update = jnp.einsum("dm,dnm->nd", nu, gram,
+                          precision=jax.lax.Precision.HIGHEST)
+    return f_prior + f_update
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_rhs(x, z, lengthscales, variance, omega, phase, weights, nu,
+              tile_n: int = DEFAULT_TILE_N, interpret: bool = False):
+    """Fused dimwise ODE right-hand side: (N, Din) -> (N, D).
+
+    Constrained parameters enter CONSTRAINED (lengthscales/variance, not raw).
+    Differentiable: forward runs the Pallas kernel, backward recomputes
+    through the jnp reference path.
+    """
+    return _fused_rhs_forward(x, z, lengthscales, variance, omega, phase,
+                              weights, nu, tile_n=tile_n, interpret=interpret)
+
+
+def _fused_rhs_fwd(x, z, lengthscales, variance, omega, phase, weights, nu,
+                   tile_n, interpret):
+    # (custom_vjp passes nondiff args in-position to fwd, but first to bwd.)
+    out = _fused_rhs_forward(x, z, lengthscales, variance, omega, phase,
+                             weights, nu, tile_n=tile_n, interpret=interpret)
+    return out, (x, z, lengthscales, variance, omega, phase, weights, nu)
+
+
+def _fused_rhs_bwd(tile_n, interpret, residuals, g):
+    _, vjp = jax.vjp(_rhs_reference_jnp, *residuals)
+    return vjp(g)
+
+
+fused_rhs.defvjp(_fused_rhs_fwd, _fused_rhs_bwd)

@@ -139,6 +139,10 @@ def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
 
     margs = args.model_args()
     cfg = margs.solver_config()
+    # Evaluation integrates whole (extrapolated) trajectories; give the
+    # adaptive solver a budget sized for the full horizon regardless of the
+    # (much smaller) budget the shooting training interval needs.
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
@@ -174,7 +178,7 @@ def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
                      "step": args.num_iter})
 
     train_pred, test_pred, metrics = _eval_and_log(
-        logger, data, params, margs, cfg, k_eval, shooting_variant,
+        logger, data, params, margs, eval_cfg, k_eval, shooting_variant,
         args.eval_sample_size)
 
     np.savez(os.path.join(args.save, "model_predictions.npz"),
@@ -211,6 +215,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
 
     margs = args.model_args()
     cfg = margs.solver_config()
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
 
@@ -266,10 +271,10 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                 likelihood=params.likelihood)
     k1, k2 = jax.random.split(k_eval)
     train_pred_zs = np.asarray(gpode.predict(
-        k1, vparams, jnp.asarray(data_pca.trn.ts), cfg, margs.num_features,
+        k1, vparams, jnp.asarray(data_pca.trn.ts), eval_cfg, margs.num_features,
         num_draws=args.eval_sample_size, x0=jnp.asarray(data_pca.trn.ys[:, 0])))
     test_pred_zs = np.asarray(gpode.predict(
-        k2, vparams, jnp.asarray(data_pca.tst.ts), cfg, margs.num_features,
+        k2, vparams, jnp.asarray(data_pca.tst.ts), eval_cfg, margs.num_features,
         num_draws=args.eval_sample_size, x0=jnp.asarray(data_pca.tst.ys[:, 0])))
     train_pred_ys = np.asarray(project(projector, jnp.asarray(train_pred_zs)))
     test_pred_ys = np.asarray(project(projector, jnp.asarray(test_pred_zs)))

@@ -10,7 +10,7 @@ if __name__ == "__main__":
     parser = base_parser("Learning human motion dynamics with GPODE-shooting")
     add_mocap_flags(parser)
     add_shooting_flags(parser)
-    parser.set_defaults(save="results/mocap/gpode-shooting", num_inducing=100,
+    parser.set_defaults(save="results/mocap/gpode-shooting", num_inducing=100, max_steps=8,
                         ts_dense_scale=2, num_iter=10000, log_freq=20)
     args = to_experiment_args(parser.parse_args())
     run_mocap(args, shooting_variant=True)

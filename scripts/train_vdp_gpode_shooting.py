@@ -9,6 +9,6 @@ if __name__ == "__main__":
     parser = base_parser("Learning Van der Pol (long sequences) with GPODE-shooting")
     add_vdp_flags(parser)
     add_shooting_flags(parser)
-    parser.set_defaults(save="results/vdp/gpode-shooting")
+    parser.set_defaults(save="results/vdp/gpode-shooting", max_steps=16)
     args = to_experiment_args(parser.parse_args())
     run_vdp(args, shooting_variant=True)

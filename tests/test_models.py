@@ -121,3 +121,34 @@ def test_frozen_mask_paths():
     assert bool(mask.constraint.raw_scale)            # frozen by default
     assert not bool(mask.gp.kernel.raw_lengthscales)  # trainable
     assert not bool(mask.likelihood.raw_variance)
+
+
+def test_neural_ode_baseline_learns_linear_system():
+    import optax
+    from gpode_tpu.models import neural_ode
+    from gpode_tpu.models.flow import SolverConfig
+    from gpode_tpu.train.trainer import make_train_step
+
+    # data: exponential decay trajectories
+    ts = jnp.linspace(0.0, 2.0, 10)
+    x0 = jnp.asarray([[1.0, -1.0], [0.5, 2.0]])
+    ys = x0[:, None, :] * jnp.exp(-ts)[None, :, None]
+
+    cfg = SolverConfig(solver="rk4", ts_dense_scale=3, max_steps=16)
+    params = neural_ode.init_neural_ode(jax.random.PRNGKey(0), 2, hidden=32)
+
+    def loss_fn(p, key, ys, ts):
+        return neural_ode.mse_loss(key, p, ys, ts, cfg)
+
+    opt = optax.adam(1e-2)
+    step = make_train_step(loss_fn, opt)
+    s = opt.init(params)
+    k = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(150):
+        params, s, k, terms = step(params, s, k, ys, ts)
+        if first is None:
+            first = float(terms.loss)
+    assert float(terms.loss) < 0.1 * first
+    pred = neural_ode.predict(params, x0, ts, cfg)
+    assert float(jnp.mean(jnp.square(pred - ys))) < 0.05

@@ -1,0 +1,84 @@
+"""Pallas kernel correctness vs the jnp reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpode_tpu.models import gp
+from gpode_tpu.ops.kernels import init_rbf, rbf_K
+from gpode_tpu.ops.pallas_kernels import (_rhs_reference_jnp, fused_rhs,
+                                          rbf_gram_pallas)
+
+_INTERP = jax.devices()[0].platform != "tpu"
+
+
+def _setup(n=300, m=24, din=3, d=4, s=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(m, din)).astype(np.float32))
+    ls = jnp.asarray((0.5 + rng.random((d, din))).astype(np.float32))
+    var = jnp.asarray((0.3 + rng.random(d)).astype(np.float32))
+    omega = jnp.asarray(rng.normal(size=(din, s, d)).astype(np.float32))
+    phase = jnp.asarray((2 * np.pi * rng.random((1, s, d))).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(s, d)).astype(np.float32))
+    nu = jnp.asarray(rng.normal(size=(d, m)).astype(np.float32))
+    return x, z, ls, var, omega, phase, w, nu
+
+
+def test_rbf_gram_matches_reference():
+    x, z, ls, var, *_ = _setup()
+    got = np.asarray(rbf_gram_pallas(x, z, ls, var, tile_n=128, interpret=_INTERP))
+    from gpode_tpu.ops.kernels import RBFParams
+    from gpode_tpu.ops.math import invsoftplus
+    p = RBFParams(invsoftplus(ls), invsoftplus(var))
+    want = np.asarray(rbf_K(p, x, z))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_rbf_gram_padded_rows():
+    # N not a multiple of the tile: padded rows must not leak into output
+    x, z, ls, var, *_ = _setup(n=77)
+    got = rbf_gram_pallas(x, z, ls, var, tile_n=64, interpret=_INTERP)
+    assert got.shape == (4, 77, 24)
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_fused_rhs_matches_jnp_reference():
+    inputs = _setup()
+    got = np.asarray(fused_rhs(*inputs, 128, _INTERP))
+    want = np.asarray(_rhs_reference_jnp(*inputs))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_rhs_matches_eval_draw():
+    """End-to-end: fused kernel equals models.gp.eval_draw for a real draw."""
+    key = jax.random.PRNGKey(0)
+    p = gp.init_svgp(key, 3, 4, 24, dimwise=True)
+    draw = gp.draw_posterior(jax.random.PRNGKey(1), p, 64)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(50, 3)).astype(np.float32))
+    want = np.asarray(gp.eval_draw(p, draw, x))
+    got = np.asarray(fused_rhs(
+        x, p.z, p.kernel.lengthscales, p.kernel.variance,
+        draw.omega, draw.phase, draw.weights, draw.nu, 64, _INTERP))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_fused_rhs_gradients_match_reference():
+    inputs = _setup(n=40, s=32)
+
+    def loss_pallas(x, nu, w):
+        return jnp.sum(fused_rhs(x, inputs[1], inputs[2], inputs[3], inputs[4],
+                                 inputs[5], w, nu, 64, _INTERP) ** 2)
+
+    def loss_ref(x, nu, w):
+        return jnp.sum(_rhs_reference_jnp(x, inputs[1], inputs[2], inputs[3],
+                                          inputs[4], inputs[5], w, nu) ** 2)
+
+    gx1, gnu1, gw1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(
+        inputs[0], inputs[7], inputs[6])
+    gx2, gnu2, gw2 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        inputs[0], inputs[7], inputs[6])
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gnu1), np.asarray(gnu2), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=2e-3, atol=2e-3)
