@@ -41,12 +41,19 @@ class FHN:
 
         ts_train = np.linspace(0.0, 1.0, s_train) * t_train
         ts_test = np.linspace(0.0, 1.0, s_test) * t_test
-        xs_train = np.stack([scipy_odeint(fhn_rhs, xi, ts_train) for xi in self.x0])
-        xs_test = np.stack([scipy_odeint(fhn_rhs, xi, ts_test) for xi in self.x0])
+        xs_train = np.stack([self._simulate(xi, ts_train) for xi in self.x0])
+        xs_test = np.stack([self._simulate(xi, ts_test) for xi in self.x0])
         xs_train = xs_train + noise_rng.normal(size=xs_train.shape) * noise_var ** 0.5
 
         self.trn = Split(ys=xs_train, ts=ts_train)
         self.tst = Split(ys=xs_test, ts=ts_test)
+
+    @staticmethod
+    def _simulate(x0, ts):
+        from gpode_tpu.utils import native
+        if native.available():
+            return native.integrate("fhn", x0, ts)
+        return scipy_odeint(fhn_rhs, x0, ts)
 
     def f(self, y, t=None):
         return np.asarray(fhn_rhs(y, t))

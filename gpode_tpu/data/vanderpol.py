@@ -23,6 +23,10 @@ def vdp_rhs(y, t, mu=0.5):
 
 
 def _simulate(x0: np.ndarray, ts: np.ndarray, mu: float) -> np.ndarray:
+    from gpode_tpu.utils import native
+    if native.available():
+        return np.stack([native.integrate("vdp", xi, ts, params=(mu,))
+                         for xi in x0])
     return np.stack([scipy_odeint(vdp_rhs, xi, ts, args=(mu,)) for xi in x0])
 
 

@@ -51,7 +51,11 @@ def initialize_inducing(gp_params: gp.SVGPParams, data_ys: np.ndarray,
     xs = data_ys[:, :-1, :].reshape(-1, d)
 
     m = gp_params.num_inducing
-    z = kmeans2(xs, k=m, minit="points", seed=rng)[0].astype(np.float32)
+    from gpode_tpu.utils import native
+    if native.available():
+        z = native.kmeans(xs, m, seed=int(rng.randint(2 ** 31)))
+    else:
+        z = kmeans2(xs, k=m, minit="points", seed=rng)[0].astype(np.float32)
 
     keep = rng.choice(xs.shape[0], min(max_obs, xs.shape[0]), replace=False)
     xs_sub = jnp.asarray(xs[keep])
