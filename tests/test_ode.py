@@ -114,3 +114,23 @@ def test_time_dependent_rhs():
     xs, _ = odeint_dopri5(f, jnp.zeros((1, 1)), ts, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(xs)[:, 0, 0], np.asarray(ts) ** 2,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_adams_matches_scipy_on_vdp():
+    from gpode_tpu.ops.ode import odeint_adams
+    ts_np = np.linspace(0, 5.0, 11)
+    want = scipy_odeint(_vdp_np, [-1.5, 2.5], ts_np, rtol=1e-10, atol=1e-10)
+    xs, stats = odeint_adams(_vdp(), jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32),
+                             jnp.asarray(ts_np, dtype=jnp.float32), substeps=8)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=2e-3)
+    assert int(stats.num_rhs_evals) > 0
+
+
+def test_adams_dispatch_and_bdf_rejected():
+    f = _vdp()
+    ts = jnp.linspace(0.0, 1.0, 5)
+    x0 = jnp.asarray([[0.1, 0.2]])
+    xs, _ = odeint(f, x0, ts, solver="explicit_adams", substeps=6)
+    assert xs.shape == (5, 1, 2)
+    with pytest.raises(NotImplementedError):
+        odeint(f, x0, ts, solver="bdf")
