@@ -139,3 +139,19 @@ def latent_to_data_projector(dataset: MocapDataset) -> Projector:
         norm_mean = norm_std = None
     return Projector(components=np.asarray(dataset.pca.components_, dtype=np.float32),
                      norm_mean=norm_mean, norm_std=norm_std)
+
+
+class CombinedDataset:
+    """Pairs the data-space and PCA-space views of the same split for
+    iteration (`src/misc/mocap_utils.py:37-47`)."""
+
+    def __init__(self, data_pca: "MocapDataset", data_full: "MocapDataset"):
+        self.data_pca = data_pca
+        self.data_full = data_full
+
+    def __len__(self) -> int:
+        return self.data_pca.trn.ys.shape[0]
+
+    def __getitem__(self, index):
+        return (self.data_full.trn.ys[index, ...],
+                self.data_pca.trn.ys[index, ...], self.data_pca.trn.ts)

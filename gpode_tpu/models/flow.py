@@ -38,6 +38,11 @@ class SolverConfig:
     atol: float = 1e-6
     ts_dense_scale: int = 1
     max_steps: int = 256
+    # Rematerialize rhs evaluations in the backward pass instead of storing
+    # them: trades FLOPs for memory on long trajectories. (The reference's
+    # `use_adjoint` flag served the same memory purpose via odeint_adjoint;
+    # its scripts default it off, `train_vdp_gpode.py:52`.)
+    remat: bool = False
 
     @property
     def substeps(self) -> int:
@@ -49,18 +54,28 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
                  cfg: SolverConfig) -> tuple[jax.Array, ODEStats]:
     """Integrate dx/dt = f_draw(x) from x0 over ts.
 
-    x0: (N, D); ts: (T,) increasing or decreasing (backward = `Flow.inverse`,
-    `flow.py:92-115`, is just decreasing ts). Returns ((N, T, D), stats).
+    x0: (N, D); ts: (T,) increasing or decreasing. Returns ((N, T, D), stats).
     """
 
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)
         return gp.eval_draw(gp_params, draw, x)
 
+    if cfg.remat:
+        rhs = jax.checkpoint(rhs)
+
     xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
                        atol=cfg.atol, substeps=cfg.substeps,
                        max_steps=cfg.max_steps)
     return jnp.moveaxis(xs, 0, 1), stats
+
+
+def flow_inverse(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
+                 x1: jax.Array, ts: jax.Array,
+                 cfg: SolverConfig) -> tuple[jax.Array, ODEStats]:
+    """Integrate backward over reversed ts (the reference's `Flow.inverse`,
+    `flow.py:92-115`): returns states at flip(ts), shape (N, T, D)."""
+    return flow_forward(gp_params, draw, x1, jnp.flip(ts, 0), cfg)
 
 
 def flow_forward_sampled(key: jax.Array, gp_params: gp.SVGPParams,

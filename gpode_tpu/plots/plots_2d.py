@@ -153,3 +153,33 @@ def plot_trace(trainer, save_dir: str, fname: str = "plt_optimization_trace.png"
     fig.tight_layout()
     fig.savefig(os.path.join(save_dir, fname), dpi=120)
     plt.close(fig)
+
+
+def plot_shooting_states(states, data, save_dir: str,
+                         fname: str = "plt_shooting_states.png"):
+    """Shooting-state posterior bands over time
+    (`gpode_shooting/plots_2d.py:66-98`): mean +/- 2 std of every q(s_t),
+    with the embedded q(x0) at the shifted t=0 slot."""
+    mean = np.asarray(states.mean)                     # (N, T-1, D)
+    std = np.asarray(jnp.linalg.norm(jnp.tril(states.tril()), axis=-1))
+    x0_mean = np.asarray(states.x0.mean)               # (N, D)
+    x0_std = np.asarray(jnp.linalg.norm(jnp.tril(states.x0.tril()), axis=-1))
+    n, tm1, d = mean.shape
+    ts = data.trn.ts
+    fig, axs = plt.subplots(d, 1, figsize=(10, 2.5 * d), sharex=True)
+    for dim, ax in enumerate(np.atleast_1d(axs)):
+        for seq in range(n):
+            m = np.concatenate([[x0_mean[seq, dim]], mean[seq, :, dim]])
+            s = np.concatenate([[x0_std[seq, dim]], std[seq, :, dim]])
+            grid = np.concatenate([[ts[0] - (ts[1] - ts[0])], ts[:tm1]])
+            ax.errorbar(grid, m, yerr=2 * s, fmt=".", ms=3, lw=0.7,
+                        color="tab:blue",
+                        label="q(s_t) mean ± 2σ" if seq == 0 else None)
+            ax.scatter(ts, data.trn.ys[seq, :, dim], c="k", s=8,
+                       label="observations" if seq == 0 else None)
+        ax.set_ylabel(f"state {dim + 1}")
+    np.atleast_1d(axs)[0].legend(fontsize=8)
+    np.atleast_1d(axs)[-1].set_xlabel("time")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, fname), dpi=120)
+    plt.close(fig)

@@ -192,6 +192,8 @@ def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
                                    np.asarray(params.likelihood.variance), args.save)
         plots_2d.plot_vectorfield(params.gp, data, test_pred, args.save)
         plots_2d.plot_inducing_posterior(params.gp, data, args.save)
+        if shooting_variant:
+            plots_2d.plot_shooting_states(params.states, data, args.save)
         plots_2d.plot_trace(trainer, args.save)
     return params, trainer, metrics
 
