@@ -126,9 +126,6 @@ def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
 def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
     """VDP experiment, vanilla or shooting (`train_vdp_gpode[_shooting].py`)."""
     name = "vdp_gpode_shooting" if shooting_variant else "vdp_gpode"
-    logger = _setup_run(args, name)
-    key = jax.random.PRNGKey(args.seed)
-
     n_ahead = args.data_obs_s if not shooting_variant else 50
     data = VanderPol(
         s_train=args.data_obs_s, t_train=args.data_obs_t,
@@ -136,6 +133,26 @@ def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
         t_test=args.data_obs_t * (args.data_obs_s + n_ahead - 1) / (args.data_obs_s - 1),
         noise_var=args.data_obs_noise_var,
         x0=np.array([[-1.5, 2.5]]), mu=0.5)
+    return run_2d(args, data, name, shooting_variant)
+
+
+def run_fhn(args: ExperimentArgs, shooting_variant: bool = False):
+    """FitzHugh-Nagumo experiment (BASELINE.md graded config 3: adaptive
+    dopri5 + larger MC sample count; the reference ships the simulator,
+    `src/datasets/fhn.py`, without a driver)."""
+    from gpode_tpu.data.fhn import FHN
+    name = "fhn_gpode_shooting" if shooting_variant else "fhn_gpode"
+    data = FHN(s_train=args.data_obs_s, t_train=args.data_obs_t,
+               noise_var=args.data_obs_noise_var,
+               x0=np.array([[-1.0, -1.0]]))
+    return run_2d(args, data, name, shooting_variant)
+
+
+def run_2d(args: ExperimentArgs, data, name: str,
+           shooting_variant: bool = False):
+    """Shared 2-D driver: build -> initialize -> train -> eval -> artifacts."""
+    logger = _setup_run(args, name)
+    key = jax.random.PRNGKey(args.seed)
 
     margs = args.model_args()
     cfg = margs.solver_config()
