@@ -57,3 +57,33 @@ def device_put_replicated(tree, mesh: Mesh):
 
 def device_put_batch(array, mesh: Mesh, axis: str = "dp"):
     return jax.device_put(array, NamedSharding(mesh, P(axis)))
+
+
+def make_sharded_predict(mesh: Mesh, cfg, num_features: int,
+                         num_draws: int = 128):
+    """Posterior-predictive sampling with the draw axis sharded over the mesh.
+
+    The reference evaluates 128 posterior draws in a serial Python loop
+    (`gpode/model_builder.py:60-78`); here the draws vmap AND shard across
+    every device: each chip integrates its slice of the function draws.
+    Returns predict(key, gp_params, x0_post, ts) -> (S, N, T, D).
+    """
+    from gpode_tpu.models import gpode
+
+    axis = mesh.axis_names[0]
+    draw_sharding = NamedSharding(mesh, P(axis))
+    rep = replicated(mesh)
+
+    @partial(jax.jit, out_shardings=draw_sharding)
+    def predict(key, vparams, ts, x0):
+        def one(k):
+            from gpode_tpu.models.flow import flow_forward_sampled
+            xs, _ = flow_forward_sampled(k, vparams.gp, x0, ts, cfg,
+                                         num_features)
+            return xs
+
+        keys = jax.lax.with_sharding_constraint(
+            jax.random.split(key, num_draws), draw_sharding)
+        return jax.vmap(one)(keys)
+
+    return predict

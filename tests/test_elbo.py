@@ -122,3 +122,38 @@ def test_elbo_decreases_under_training_steps():
         params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
         losses.append(float(terms.loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_flow_inverse_roundtrip():
+    """forward then inverse returns to the start (solver-accuracy tolerance)."""
+    from gpode_tpu.models.flow import flow_forward, flow_inverse
+    key = jax.random.PRNGKey(11)
+    params = build_gpode(key, _ARGS, np.zeros((1, 4, 2), np.float32))
+    draw = gp.draw_posterior(jax.random.PRNGKey(12), params.gp, 16)
+    cfg = SolverConfig(solver="dopri5", max_steps=64)
+    x0 = jnp.asarray([[0.4, -0.3]])
+    ts = jnp.linspace(0.0, 1.0, 5)
+    fwd, _ = flow_forward(params.gp, draw, x0, ts, cfg)
+    back, _ = flow_inverse(params.gp, draw, fwd[:, -1], ts, cfg)
+    np.testing.assert_allclose(np.asarray(back[:, -1]), np.asarray(x0),
+                               atol=1e-3)
+
+
+def test_remat_matches_plain_gradients():
+    import dataclasses
+    ys, ts = _toy_data(t=5)
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    loss_plain = gpode_loss_fn(_ARGS)
+    args_remat = dataclasses.replace(_ARGS)  # ModelArgs is frozen; rebuild fn
+    from gpode_tpu.models.gpode import elbo_loss as _elbo
+    cfg_remat = dataclasses.replace(_ARGS.solver_config(), remat=True)
+
+    def loss_remat(p, key, ys, ts):
+        return _elbo(key, p, ys, ts, cfg_remat, _ARGS.num_features)
+
+    key = jax.random.PRNGKey(3)
+    g1, _ = jax.grad(loss_plain, has_aux=True)(params, key, ys, ts)
+    g2, _ = jax.grad(loss_remat, has_aux=True)(params, key, ys, ts)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)

@@ -86,3 +86,22 @@ def test_sharded_train_step_updates_params():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_predict():
+    from gpode_tpu.models import gpode as gpode_mod
+    from gpode_tpu.parallel.train import make_sharded_predict
+    from gpode_tpu.train.builders import build_gpode
+    ys, ts = _data(n=2)
+    params = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    mesh = make_mesh({"mc": 8})
+    cfg = _ARGS.solver_config()
+    predict = make_sharded_predict(mesh, cfg, _ARGS.num_features, num_draws=16)
+    with mesh:
+        pred = predict(jax.random.PRNGKey(1), params, ts, ys[:, 0])
+    assert pred.shape == (16, 2, ys.shape[1], 2)
+    # statistically equivalent to the unsharded path
+    plain = gpode_mod.predict(jax.random.PRNGKey(1), params, ts, cfg,
+                              _ARGS.num_features, num_draws=16, x0=ys[:, 0])
+    np.testing.assert_allclose(np.asarray(pred).mean(), np.asarray(plain).mean(),
+                               atol=0.2)
