@@ -97,28 +97,48 @@ class Trainer:
         if self.logger is not None:
             self.logger.info(msg)
 
+    def _drain(self, pending, begin, warmup_iters):
+        """Move buffered device-side step scalars into the host meters.
+
+        By the time we drain, all buffered steps have long completed on
+        device, so the float() conversions are cheap — the hot loop itself
+        never blocks on a host round trip (a per-step fetch serializes the
+        dispatch pipeline; through a remote-device tunnel that costs ~10x
+        throughput).
+        """
+        if not pending:
+            return begin
+        elapsed = time.time() - begin
+        per_step = elapsed / len(pending)
+        for itr, terms in pending:
+            if itr <= warmup_iters:
+                continue
+            self.loss_meter.update(float(terms.loss), itr)
+            self.observ_nll_meter.update(float(terms.observ_nll), itr)
+            self.init_kl_meter.update(float(terms.x0_kl), itr)
+            self.inducing_kl_meter.update(float(terms.inducing_kl), itr)
+            if hasattr(terms, "state_kl"):
+                self.state_kl_meter.update(float(terms.state_kl), itr)
+            self.time_meter.update(per_step, itr)
+        pending.clear()
+        return time.time()
+
     def train(self, params, key, *batch, start_iter: int = 1,
               opt_state=None):
         """Run the loop; returns (params, opt_state, key)."""
         opt_state = self.optimizer.init(params) if opt_state is None else opt_state
         cfg = self.cfg
+        pending = []  # (iteration, device-side terms) awaiting meter drain
+        begin = time.time()
         for itr in range(start_iter, cfg.num_iter):
             try:
-                begin = time.time()
                 params, opt_state, key, terms = self.step_fn(
                     params, opt_state, key, *batch)
-                loss = float(terms.loss)  # host sync doubles as step barrier
+                pending.append((itr, terms))
 
-                if itr > cfg.warmup_iters:
-                    self.loss_meter.update(loss, itr)
-                    self.observ_nll_meter.update(float(terms.observ_nll), itr)
-                    self.init_kl_meter.update(float(terms.x0_kl), itr)
-                    self.inducing_kl_meter.update(float(terms.inducing_kl), itr)
-                    if hasattr(terms, "state_kl"):
-                        self.state_kl_meter.update(float(terms.state_kl), itr)
-                    self.time_meter.update(time.time() - begin, itr)
-
-                    if itr % cfg.log_freq == 0:
+                if itr % cfg.log_freq == 0:
+                    begin = self._drain(pending, begin, cfg.warmup_iters)
+                    if itr > cfg.warmup_iters:
                         parts = [
                             f"Iter {itr:06d}",
                             f"Time {self.time_meter.sum:0.4f}({self.time_meter.avg:.4f})",
@@ -136,10 +156,12 @@ class Trainer:
 
                 if (cfg.checkpoint_every and self.checkpoint_path
                         and itr % cfg.checkpoint_every == 0):
+                    begin = self._drain(pending, begin, cfg.warmup_iters)
                     save_checkpoint(self.checkpoint_path,
                                     {"params": params, "opt_state": opt_state,
                                      "key": key, "step": itr})
             except KeyboardInterrupt:
                 self._log("Stopping optimization")
                 break
+        self._drain(pending, begin, cfg.warmup_iters)
         return params, opt_state, key
