@@ -73,6 +73,7 @@ class ExperimentArgs:
     log_freq: int = 10
     checkpoint_every: int = 1000
     plots: bool = True
+    resume: bool = False  # continue from <save>/checkpt.npz if present
 
     def model_args(self) -> ModelArgs:
         return ModelArgs(
@@ -90,6 +91,23 @@ def _setup_run(args: ExperimentArgs, name: str):
     logger = io_utils.get_logger(os.path.join(args.save, "logs"), name=name)
     io_utils.save_args(args, os.path.join(args.save, "train_args.json"))
     return logger
+
+
+def _maybe_resume(args: ExperimentArgs, params, logger):
+    """Restore params/opt_state/key/step from <save>/checkpt.npz when
+    `--resume` (exceeds the reference, which only saved at the end)."""
+    path = os.path.join(args.save, "checkpt.npz")
+    if not (args.resume and os.path.exists(path)):
+        return params, None, None, 1
+    from gpode_tpu.utils.checkpoint import load_checkpoint
+    state = load_checkpoint(path)
+    step = int(state["step"])
+    logger.info(f"Resuming from {path} at step {step}")
+    restored = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        jax.tree_util.tree_leaves(state["params"]))
+    key = jnp.asarray(state["key"]) if "key" in state else None
+    return restored, state["opt_state"], key, step + 1
 
 
 def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
@@ -180,19 +198,22 @@ def run_2d(args: ExperimentArgs, data, name: str,
         loss_fn = gpode_loss_fn(margs)
         frozen = None
 
+    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   log_freq=args.log_freq,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
-    params, opt_state, _ = trainer.train(params, k_train,
+    params, opt_state, _ = trainer.train(params, key0 if key0 is not None else k_train,
                                          jnp.asarray(data.trn.ys),
-                                         jnp.asarray(data.trn.ts))
+                                         jnp.asarray(data.trn.ts),
+                                         start_iter=start_iter,
+                                         opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
-                     "step": args.num_iter})
+                     "key": k_train, "step": args.num_iter})
 
     train_pred, test_pred, metrics = _eval_and_log(
         logger, data, params, margs, eval_cfg, k_eval, shooting_variant,
@@ -270,19 +291,22 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     loss_fn = shooting_loss_fn(margs) if shooting_variant else gpode_loss_fn(margs)
     frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
               if shooting_variant else None)
+    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   log_freq=args.log_freq, warmup_iters=100,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
-    params, opt_state, _ = trainer.train(params, k_train,
+    params, opt_state, _ = trainer.train(params, key0 if key0 is not None else k_train,
                                          jnp.asarray(data_full.trn.ys),
-                                         jnp.asarray(data_pca.trn.ts))
+                                         jnp.asarray(data_pca.trn.ts),
+                                         start_iter=start_iter,
+                                         opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
-                     "step": args.num_iter})
+                     "key": k_train, "step": args.num_iter})
 
     # evaluation from observed first latent states (`train_mocap_gpode.py:187-218`)
     x0_post = params.states.x0 if shooting_variant else params.x0

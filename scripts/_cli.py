@@ -46,6 +46,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=121, help="Global seed")
     p.add_argument("--log_freq", type=int, default=10, help="Logging frequency")
     p.add_argument("--no_plots", action="store_true", help="Skip diagnostics plots")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from <save>/checkpt.npz if present")
     return p
 
 

@@ -107,3 +107,22 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_vdp_experiment_driver(tmp_path):
+    """Covers the full experiment driver incl. eval + artifact dump + resume."""
+    from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
+    args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
+                          ts_dense_scale=3, max_steps=16, data_obs_s=12,
+                          data_obs_t=3.0, num_iter=6, eval_sample_size=3,
+                          log_freq=2, checkpoint_every=4, plots=False,
+                          save=str(tmp_path))
+    params, trainer, metrics = run_vdp(args, shooting_variant=False)
+    import os
+    assert os.path.exists(str(tmp_path) + "/model_predictions.npz")
+    assert os.path.exists(str(tmp_path) + "/checkpt.npz")
+    assert np.isfinite(metrics["test_mse"])
+
+    # resume continues without error from the saved checkpoint
+    args2 = ExperimentArgs(**{**args.__dict__, "num_iter": 8, "resume": True})
+    run_vdp(args2, shooting_variant=False)
