@@ -9,7 +9,7 @@ per step, now SPMD over the mesh.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import optax
@@ -68,11 +68,8 @@ def make_sharded_predict(mesh: Mesh, cfg, num_features: int,
     every device: each chip integrates its slice of the function draws.
     Returns predict(key, gp_params, x0_post, ts) -> (S, N, T, D).
     """
-    from gpode_tpu.models import gpode
-
     axis = mesh.axis_names[0]
     draw_sharding = NamedSharding(mesh, P(axis))
-    rep = replicated(mesh)
 
     @partial(jax.jit, out_shardings=draw_sharding)
     def predict(key, vparams, ts, x0):

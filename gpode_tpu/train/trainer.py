@@ -108,17 +108,21 @@ class Trainer:
         """
         if not pending:
             return begin
+        # Force completion of the newest buffered step FIRST so the window's
+        # elapsed time includes the device compute, not just dispatch.
+        host = [(itr, jax.tree_util.tree_map(float, terms))
+                for itr, terms in pending]
         elapsed = time.time() - begin
         per_step = elapsed / len(pending)
-        for itr, terms in pending:
+        for itr, terms in host:
             if itr <= warmup_iters:
                 continue
-            self.loss_meter.update(float(terms.loss), itr)
-            self.observ_nll_meter.update(float(terms.observ_nll), itr)
-            self.init_kl_meter.update(float(terms.x0_kl), itr)
-            self.inducing_kl_meter.update(float(terms.inducing_kl), itr)
+            self.loss_meter.update(terms.loss, itr)
+            self.observ_nll_meter.update(terms.observ_nll, itr)
+            self.init_kl_meter.update(terms.x0_kl, itr)
+            self.inducing_kl_meter.update(terms.inducing_kl, itr)
             if hasattr(terms, "state_kl"):
-                self.state_kl_meter.update(float(terms.state_kl), itr)
+                self.state_kl_meter.update(terms.state_kl, itr)
             self.time_meter.update(per_step, itr)
         pending.clear()
         return time.time()
