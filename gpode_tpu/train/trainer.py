@@ -108,21 +108,27 @@ class Trainer:
         """
         if not pending:
             return begin
-        # Force completion of the newest buffered step FIRST so the window's
-        # elapsed time includes the device compute, not just dispatch.
-        host = [(itr, jax.tree_util.tree_map(float, terms))
-                for itr, terms in pending]
+        # Stack the buffered per-step scalars on device and fetch them in ONE
+        # batched transfer: a per-scalar fetch is a full host round trip
+        # (~tens of ms through a remote-device tunnel), and a drain window can
+        # hold hundreds of steps x several scalars. The fetch also forces
+        # completion of every buffered step, so the window's elapsed time
+        # includes device compute, not just dispatch.
+        import jax.numpy as jnp
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[t for _, t in pending])
+        host = jax.device_get(stacked)
         elapsed = time.time() - begin
         per_step = elapsed / len(pending)
-        for itr, terms in host:
+        for j, (itr, _) in enumerate(pending):
             if itr <= warmup_iters:
                 continue
-            self.loss_meter.update(terms.loss, itr)
-            self.observ_nll_meter.update(terms.observ_nll, itr)
-            self.init_kl_meter.update(terms.x0_kl, itr)
-            self.inducing_kl_meter.update(terms.inducing_kl, itr)
-            if hasattr(terms, "state_kl"):
-                self.state_kl_meter.update(terms.state_kl, itr)
+            self.loss_meter.update(float(host.loss[j]), itr)
+            self.observ_nll_meter.update(float(host.observ_nll[j]), itr)
+            self.init_kl_meter.update(float(host.x0_kl[j]), itr)
+            self.inducing_kl_meter.update(float(host.inducing_kl[j]), itr)
+            if hasattr(host, "state_kl"):
+                self.state_kl_meter.update(float(host.state_kl[j]), itr)
             self.time_meter.update(per_step, itr)
         pending.clear()
         return time.time()
@@ -139,6 +145,13 @@ class Trainer:
                 params, opt_state, key, terms = self.step_fn(
                     params, opt_state, key, *batch)
                 pending.append((itr, terms))
+
+                # Cap outstanding async work: past ~100 in-flight dispatches
+                # some runtimes (notably remote-device tunnels) start blocking
+                # a full round trip per enqueue. Draining is one batched
+                # fetch, so keeping the window modest is free.
+                if len(pending) >= 64 and itr % cfg.log_freq != 0:
+                    begin = self._drain(pending, begin, cfg.warmup_iters)
 
                 if itr % cfg.log_freq == 0:
                     begin = self._drain(pending, begin, cfg.warmup_iters)
