@@ -39,10 +39,12 @@ class SolverConfig:
     ts_dense_scale: int = 1
     max_steps: int = 256
     # Rematerialize rhs evaluations in the backward pass instead of storing
-    # them: trades FLOPs for memory on long trajectories. (The reference's
-    # `use_adjoint` flag served the same memory purpose via odeint_adjoint;
-    # its scripts default it off, `train_vdp_gpode.py:52`.)
+    # them: trades FLOPs for memory on long trajectories.
     remat: bool = False
+    # O(1)-memory continuous-adjoint gradients (the reference's `use_adjoint`
+    # flag -> torchdiffeq.odeint_adjoint, `flow.py:41,68`; scripts default it
+    # off). See `gpode_tpu.ops.adjoint`.
+    use_adjoint: bool = False
 
     @property
     def substeps(self) -> int:
@@ -56,6 +58,19 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
 
     x0: (N, D); ts: (T,) increasing or decreasing. Returns ((N, T, D), stats).
     """
+
+    if cfg.use_adjoint:
+        from gpode_tpu.ops.adjoint import odeint_adjoint
+        from gpode_tpu.ops.ode import ODEStats as _Stats
+
+        def rhs_p(p, t, x):
+            del t  # time-invariant ODE (`dsvgp.py:172`)
+            return gp.eval_draw(p[0], p[1], x)
+
+        xs = odeint_adjoint(rhs_p, (gp_params, draw), x0, ts, cfg.solver,
+                            cfg.rtol, cfg.atol, cfg.substeps, cfg.max_steps)
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero)
 
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)

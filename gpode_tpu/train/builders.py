@@ -41,6 +41,7 @@ class ModelArgs:
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 256
+    use_adjoint: bool = False
     num_samples: int = 5  # shooting MC draws per step
     constraint_type: str = "gauss"
     constraint_trainable: bool = False
@@ -49,7 +50,8 @@ class ModelArgs:
     def solver_config(self) -> SolverConfig:
         return SolverConfig(solver=self.solver, rtol=self.rtol, atol=self.atol,
                             ts_dense_scale=self.ts_dense_scale,
-                            max_steps=self.max_steps)
+                            max_steps=self.max_steps,
+                            use_adjoint=self.use_adjoint)
 
 
 def build_gpode(key: jax.Array, args: ModelArgs, data_ys: np.ndarray,

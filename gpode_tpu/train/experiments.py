@@ -61,6 +61,7 @@ class ExperimentArgs:
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 64
+    use_adjoint: bool = False
     # training (`train_vdp_gpode.py:56-68`)
     num_iter: int = 5000
     num_samples: int = 5
@@ -78,7 +79,8 @@ class ExperimentArgs:
             num_features=self.num_features, num_inducing=self.num_inducing,
             dimwise=self.dimwise, q_diag=self.q_diag, solver=self.solver,
             ts_dense_scale=self.ts_dense_scale, rtol=self.rtol, atol=self.atol,
-            max_steps=self.max_steps, num_samples=self.num_samples,
+            max_steps=self.max_steps, use_adjoint=self.use_adjoint,
+            num_samples=self.num_samples,
             constraint_type=self.constraint_type,
             constraint_trainable=self.constraint_trainable,
             constraint_initial_scale=self.constraint_initial_scale)

@@ -1,0 +1,106 @@
+"""Continuous-adjoint gradient tests against autodiff-through-solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpode_tpu.ops.adjoint import odeint_adjoint
+from gpode_tpu.ops.ode import odeint
+
+
+def _linear_f(params, t, x):
+    return x @ params["A"].T
+
+
+def test_adjoint_forward_matches_plain():
+    a = jnp.asarray([[-0.5, 0.3], [-0.2, -0.7]])
+    params = {"A": a}
+    x0 = jnp.asarray([[1.0, -1.0]])
+    ts = jnp.linspace(0.0, 1.5, 6)
+    xs_adj = odeint_adjoint(_linear_f, params, x0, ts, "dopri5", 1e-7, 1e-9, 1, 128)
+    xs_ref, _ = odeint(lambda t, x: _linear_f(params, t, x), x0, ts,
+                       solver="dopri5", rtol=1e-7, atol=1e-9, max_steps=128)
+    np.testing.assert_allclose(np.asarray(xs_adj), np.asarray(xs_ref), rtol=1e-5)
+
+
+def test_adjoint_gradients_match_autodiff_through_solver():
+    a = jnp.asarray([[-0.5, 0.3], [-0.2, -0.7]])
+    x0 = jnp.asarray([[1.0, -1.0], [0.3, 0.8]])
+    ts = jnp.linspace(0.0, 1.0, 5)
+    target = jnp.ones((5, 2, 2))
+
+    def loss_adj(params, x0):
+        xs = odeint_adjoint(_linear_f, params, x0, ts, "dopri5", 1e-7, 1e-9, 1, 128)
+        return jnp.sum((xs - target) ** 2)
+
+    def loss_ref(params, x0):
+        xs, _ = odeint(lambda t, x: _linear_f(params, t, x), x0, ts,
+                       solver="dopri5", rtol=1e-7, atol=1e-9, max_steps=128)
+        return jnp.sum((xs - target) ** 2)
+
+    ga, gx_a = jax.grad(loss_adj, argnums=(0, 1))({"A": a}, x0)
+    gr, gx_r = jax.grad(loss_ref, argnums=(0, 1))({"A": a}, x0)
+    np.testing.assert_allclose(np.asarray(ga["A"]), np.asarray(gr["A"]),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_adjoint_gradients_nonlinear_rhs():
+    """Nonlinear field (tanh layer) — adjoint vs direct, fixed-step rk4."""
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(2, 2)).astype(np.float32) * 0.5),
+              "b": jnp.asarray(rng.normal(size=(2,)).astype(np.float32) * 0.1)}
+
+    def f(p, t, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    x0 = jnp.asarray([[0.2, -0.4]])
+    ts = jnp.linspace(0.0, 1.0, 4)
+
+    def loss_adj(p):
+        xs = odeint_adjoint(f, p, x0, ts, "rk4", 1e-6, 1e-6, 16, 64)
+        return jnp.sum(xs[-1] ** 2)
+
+    def loss_ref(p):
+        xs, _ = odeint(lambda t, x: f(p, t, x), x0, ts, solver="rk4", substeps=16)
+        return jnp.sum(xs[-1] ** 2)
+
+    ga = jax.grad(loss_adj)(params)
+    gr = jax.grad(loss_ref)(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gr[k]),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_gp_flow_with_adjoint_trains():
+    """use_adjoint end-to-end: the vanilla ELBO trains with adjoint gradients."""
+    import dataclasses
+    import optax
+    from gpode_tpu.models.gpode import elbo_loss
+    from gpode_tpu.train.builders import ModelArgs, build_gpode
+    from gpode_tpu.train.trainer import make_train_step
+
+    args = ModelArgs(num_inducing=8, num_features=16, solver="rk4",
+                     ts_dense_scale=3, max_steps=16, use_adjoint=True)
+    cfg = args.solver_config()
+    assert cfg.use_adjoint
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.normal(size=(1, 5, 2)).astype(np.float32) * 0.5)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    params = build_gpode(jax.random.PRNGKey(0), args, np.asarray(ys))
+
+    def loss_fn(p, key, ys, ts):
+        return elbo_loss(key, p, ys, ts, cfg, args.num_features)
+
+    opt = optax.adam(1e-2)
+    step = make_train_step(loss_fn, opt)
+    s = opt.init(params)
+    k = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(20):
+        params, s, k, terms = step(params, s, k, ys, ts)
+        if first is None:
+            first = float(terms.loss)
+    assert np.isfinite(float(terms.loss))
+    assert float(terms.loss) < first
