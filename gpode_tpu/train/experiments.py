@@ -354,3 +354,70 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     metrics = dict(train_ll=train_ll, train_mse=train_mse,
                    test_ll=test_ll, test_mse=test_mse)
     return params, trainer, metrics
+
+
+def run_fhn_interpolation(args: ExperimentArgs, small: bool = False):
+    """FHN interpolation experiment: train on the shipped non-uniform observed
+    grid, score the held-out interpolation window.
+
+    Uses the reference's `data/fhn/fhn_interpolation[_small].npz` splits
+    (SURVEY.md §2 #17: evidence of the paper's interpolation experiments; the
+    reference ships the data without a driver). Non-uniform observation times
+    exercise the solvers' dense-output path directly — no masking tricks.
+    """
+    from gpode_tpu.data.fhn import load_fhn_interpolation
+    name = "fhn_interpolation"
+    logger = _setup_run(args, name)
+    key = jax.random.PRNGKey(args.seed)
+
+    split = load_fhn_interpolation(args.data_path, small=small)
+    train_ys, train_ts = split["train_ys"], split["train_ts"]
+    full_ts = split["full_ts"]
+
+    margs = args.model_args()
+    cfg = margs.solver_config()
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
+    rng = np.random.RandomState(args.seed)
+    k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
+
+    params = build_gpode(k_build, margs, train_ys)
+    params = params._replace(gp=initialize_inducing(
+        params.gp, train_ys, float(train_ts.max()), rng=rng))
+    params = initialize_latents_with_data(k_init, params, train_ys, train_ts,
+                                          cfg, margs.num_features)
+
+    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
+    trainer = Trainer(gpode_loss_fn(margs),
+                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                  log_freq=args.log_freq,
+                                  checkpoint_every=args.checkpoint_every),
+                      logger=logger,
+                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
+    params, opt_state, _ = trainer.train(
+        params, key0 if key0 is not None else k_train,
+        jnp.asarray(train_ys), jnp.asarray(train_ts),
+        start_iter=start_iter, opt_state=opt_state0)
+    logger.info("********** Optimization completed **********")
+    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                    {"params": params, "opt_state": opt_state,
+                     "key": k_train, "step": args.num_iter})
+
+    # predict on the full grid from the optimized x0 posterior; score the
+    # held-out interpolation window
+    pred_full = np.asarray(gpode.predict(k_eval, params, jnp.asarray(full_ts),
+                                         eval_cfg, margs.num_features,
+                                         num_draws=args.eval_sample_size))
+    mask = split["interpolation_mask"]
+    noise_var = np.asarray(params.likelihood.variance)
+    interp_ll, interp_mse = compute_summary(split["full_ys"][:, mask],
+                                            pred_full[:, :, mask], noise_var)
+    train_mask = ~mask
+    train_ll, train_mse = compute_summary(split["full_ys"][:, train_mask],
+                                          pred_full[:, :, train_mask], noise_var)
+    logger.info(f"[TRAIN]  LL {train_ll:.3f} | MSE {train_mse:.3f}")
+    logger.info(f"[INTERP] LL {interp_ll:.3f} | MSE {interp_mse:.3f}")
+    np.savez(os.path.join(args.save, "model_predictions.npz"),
+             full_ts=full_ts, full_ys=split["full_ys"], pred_full=pred_full,
+             interpolation_mask=mask, obs_noisevar=noise_var)
+    return params, trainer, dict(train_ll=train_ll, train_mse=train_mse,
+                                 interp_ll=interp_ll, interp_mse=interp_mse)

@@ -126,3 +126,30 @@ def test_run_vdp_experiment_driver(tmp_path):
     # resume continues without error from the saved checkpoint
     args2 = ExperimentArgs(**{**args.__dict__, "num_iter": 8, "resume": True})
     run_vdp(args2, shooting_variant=False)
+
+
+def test_run_mocap_experiment_driver(tmp_path):
+    """MoCap driver on a reduced config: PCA pipeline, projected likelihood,
+    noise-var init, eval + artifacts — both variants."""
+    from gpode_tpu.train.experiments import ExperimentArgs, run_mocap
+    base = dict(num_inducing=8, num_features=16, num_latents=3, solver="rk4",
+                ts_dense_scale=3, max_steps=16, data_seqlen=15, num_iter=4,
+                num_samples=2, eval_sample_size=2, log_freq=2,
+                checkpoint_every=0, plots=False, data_path="data/mocap")
+    _, _, metrics = run_mocap(ExperimentArgs(**base, save=str(tmp_path / "v")),
+                              shooting_variant=False)
+    assert np.isfinite(metrics["test_mse"])
+    _, _, metrics = run_mocap(ExperimentArgs(**base, save=str(tmp_path / "s")),
+                              shooting_variant=True)
+    assert np.isfinite(metrics["test_mse"])
+
+
+def test_run_fhn_interpolation_driver(tmp_path):
+    from gpode_tpu.train.experiments import ExperimentArgs, run_fhn_interpolation
+    args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
+                          ts_dense_scale=3, max_steps=16, num_iter=4,
+                          eval_sample_size=2, log_freq=2, checkpoint_every=0,
+                          plots=False, data_path="data/fhn",
+                          save=str(tmp_path))
+    _, _, metrics = run_fhn_interpolation(args, small=True)
+    assert np.isfinite(metrics["interp_mse"])
