@@ -26,7 +26,8 @@ import sys
 import time
 
 
-def measure_steps_per_sec(iters: int = 30, warmup: int = 3) -> dict:
+def measure_steps_per_sec(iters: int = 30, warmup: int = 3,
+                          scale: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,6 +97,8 @@ def main():
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu)")
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--scale", action="store_true",
+                        help="graded config 5: 256 inducing, 32 MC paths")
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--json-only", action="store_true")
     cli = parser.parse_args()
@@ -104,7 +107,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", cli.platform)
 
-    result = measure_steps_per_sec(iters=cli.iters)
+    result = measure_steps_per_sec(iters=cli.iters, scale=cli.scale)
 
     vs_baseline = 1.0
     cpu_steps = None
@@ -113,7 +116,8 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--platform", "cpu",
-                 "--iters", "5", "--no-baseline", "--json-only"],
+                 "--iters", "5", "--no-baseline", "--json-only"]
+                + (["--scale"] if cli.scale else []),
                 capture_output=True, text=True, timeout=1800, check=True)
             cpu = json.loads(out.stdout.strip().splitlines()[-1])
             cpu_steps = cpu["value"]
@@ -122,7 +126,8 @@ def main():
             vs_baseline = 1.0
 
     payload = {
-        "metric": "mocap_shooting_elbo_steps_per_sec",
+        "metric": ("mocap_shooting_scale_elbo_steps_per_sec" if cli.scale
+                   else "mocap_shooting_elbo_steps_per_sec"),
         "value": round(result["steps_per_sec"], 4),
         "unit": "steps/sec",
         "vs_baseline": round(vs_baseline, 4),

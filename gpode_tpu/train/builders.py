@@ -42,6 +42,7 @@ class ModelArgs:
     atol: float = 1e-6
     max_steps: int = 256
     use_adjoint: bool = False
+    remat: bool = False
     num_samples: int = 5  # shooting MC draws per step
     constraint_type: str = "gauss"
     constraint_trainable: bool = False
@@ -51,7 +52,7 @@ class ModelArgs:
         return SolverConfig(solver=self.solver, rtol=self.rtol, atol=self.atol,
                             ts_dense_scale=self.ts_dense_scale,
                             max_steps=self.max_steps,
-                            use_adjoint=self.use_adjoint)
+                            use_adjoint=self.use_adjoint, remat=self.remat)
 
 
 def build_gpode(key: jax.Array, args: ModelArgs, data_ys: np.ndarray,

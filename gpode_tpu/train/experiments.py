@@ -62,6 +62,7 @@ class ExperimentArgs:
     atol: float = 1e-6
     max_steps: int = 64
     use_adjoint: bool = False
+    remat: bool = False
     # training (`train_vdp_gpode.py:56-68`)
     num_iter: int = 5000
     num_samples: int = 5
@@ -80,7 +81,7 @@ class ExperimentArgs:
             dimwise=self.dimwise, q_diag=self.q_diag, solver=self.solver,
             ts_dense_scale=self.ts_dense_scale, rtol=self.rtol, atol=self.atol,
             max_steps=self.max_steps, use_adjoint=self.use_adjoint,
-            num_samples=self.num_samples,
+            remat=self.remat, num_samples=self.num_samples,
             constraint_type=self.constraint_type,
             constraint_trainable=self.constraint_trainable,
             constraint_initial_scale=self.constraint_initial_scale)

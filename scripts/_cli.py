@@ -38,6 +38,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Adaptive-solver step budget per solve")
     p.add_argument("--use_adjoint", type=_str2bool, default=False,
                    help="O(1)-memory continuous-adjoint gradients")
+    p.add_argument("--remat", type=_str2bool, default=False,
+                   help="Rematerialize rhs evals in backward (large configs)")
     p.add_argument("--num_iter", type=int, default=5000,
                    help="Number of gradient steps")
     p.add_argument("--lr", type=float, default=0.005, help="Adam learning rate")
