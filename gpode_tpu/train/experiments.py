@@ -184,6 +184,10 @@ def run_2d(args: ExperimentArgs, data, name: str,
 
     if shooting_variant:
         params = build_shooting(k_build, margs, data.trn.ys)
+        if args.plots:
+            from gpode_tpu.plots import plots_2d
+            plots_2d.plot_model_initialization(
+                params.gp, data, args.save, "model_before_initialization.png")
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
         params = initialize_shooting_states_with_data(
@@ -192,12 +196,20 @@ def run_2d(args: ExperimentArgs, data, name: str,
         frozen = build_frozen_mask(params, default_frozen_predicate(margs))
     else:
         params = build_gpode(k_build, margs, data.trn.ys)
+        if args.plots:
+            from gpode_tpu.plots import plots_2d
+            plots_2d.plot_model_initialization(
+                params.gp, data, args.save, "model_before_initialization.png")
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
         params = initialize_latents_with_data(
             k_init, params, data.trn.ys, data.trn.ts, cfg, margs.num_features)
         loss_fn = gpode_loss_fn(margs)
         frozen = None
+    if args.plots:
+        from gpode_tpu.plots import plots_2d
+        plots_2d.plot_model_initialization(
+            params.gp, data, args.save, "model_after_initialization.png")
 
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
