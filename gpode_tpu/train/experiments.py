@@ -67,6 +67,7 @@ class ExperimentArgs:
     num_iter: int = 5000
     num_samples: int = 5
     lr: float = 5e-3
+    lr_schedule: str = "constant"
     eval_sample_size: int = 128
     save: str = "results/run"
     seed: int = 121
@@ -214,6 +215,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                  lr_schedule=args.lr_schedule,
                                   log_freq=args.log_freq,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
@@ -307,6 +309,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                  lr_schedule=args.lr_schedule,
                                   log_freq=args.log_freq, warmup_iters=100,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,

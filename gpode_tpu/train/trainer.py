@@ -30,6 +30,7 @@ class TrainConfig:
 
     num_iter: int = 5000
     lr: float = 5e-3
+    lr_schedule: str = "constant"  # constant | cosine (decays to lr/100)
     log_freq: int = 10
     checkpoint_every: int = 0  # 0 = no periodic checkpoints
     warmup_iters: int = 0      # meters start after this many iters (MoCap uses 100)
@@ -81,7 +82,12 @@ class Trainer:
                  frozen_mask: Optional[Any] = None,
                  logger=None, checkpoint_path: Optional[str] = None):
         self.cfg = cfg
-        self.optimizer = optax.adam(cfg.lr)
+        if cfg.lr_schedule == "cosine":
+            schedule = optax.cosine_decay_schedule(cfg.lr, cfg.num_iter,
+                                                   alpha=0.01)
+            self.optimizer = optax.adam(schedule)
+        else:
+            self.optimizer = optax.adam(cfg.lr)
         self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask)
         self.logger = logger
         self.checkpoint_path = checkpoint_path
@@ -92,6 +98,7 @@ class Trainer:
         self.init_kl_meter = CachedRunningAverageMeter(0.98)
         self.inducing_kl_meter = CachedRunningAverageMeter(0.98)
         self.time_meter = CachedAverageMeter()
+        self.last_nfe = 0
 
     def _log(self, msg: str):
         if self.logger is not None:
@@ -130,6 +137,7 @@ class Trainer:
             if hasattr(host, "state_kl"):
                 self.state_kl_meter.update(float(host.state_kl[j]), itr)
             self.time_meter.update(per_step, itr)
+        self.last_nfe = int(host.nfe[-1]) if hasattr(host, "nfe") else 0
         pending.clear()
         return time.time()
 
@@ -169,6 +177,7 @@ class Trainer:
                                      f"({self.init_kl_meter.avg:.2f})")
                         parts.append(f"IND KL {self.inducing_kl_meter.val:.2f}"
                                      f"({self.inducing_kl_meter.avg:.2f})")
+                        parts.append(f"NFE {self.last_nfe}")
                         self._log(" | ".join(parts))
 
                 if (cfg.checkpoint_every and self.checkpoint_path

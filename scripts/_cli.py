@@ -43,6 +43,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--num_iter", type=int, default=5000,
                    help="Number of gradient steps")
     p.add_argument("--lr", type=float, default=0.005, help="Adam learning rate")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=("constant", "cosine"),
+                   help="Learning-rate schedule (cosine decays to lr/100)")
+    p.add_argument("--pallas_rhs", type=_str2bool, default=False,
+                   help="Fused Pallas kernel for the ODE right-hand side")
     p.add_argument("--eval_sample_size", type=int, default=128,
                    help="Posterior samples for predictive evaluation")
     p.add_argument("--save", type=str, default="results/run",
@@ -86,6 +91,9 @@ def add_shooting_flags(p: argparse.ArgumentParser):
 
 
 def to_experiment_args(ns: argparse.Namespace) -> ExperimentArgs:
+    if getattr(ns, "pallas_rhs", False):
+        from gpode_tpu.models.gp import set_pallas_rhs
+        set_pallas_rhs(True)
     args = ExperimentArgs()
     for field in vars(args):
         if hasattr(ns, field):
