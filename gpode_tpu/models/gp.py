@@ -153,7 +153,7 @@ def rff_eval(params: SVGPParams, omega: jax.Array, phase: jax.Array,
     """
     var = params.kernel.variance
     s = weights.shape[0]
-    scale = jnp.sqrt(2.0 * var / s)
+    scale = jnp.sqrt(_RFF_SCALE_FACTOR * var / s)
     if params.dimwise:
         xo = jnp.einsum("nd,dfk->nfk", x, omega, precision=om.HIGHEST)       # (N, S, D)
         phi = jnp.cos(xo + phase) * scale                                    # (N, S, D)
@@ -198,6 +198,18 @@ def draw_posterior(key: jax.Array, params: SVGPParams, num_features: int,
 
 # Pallas fast path for the dimwise rhs; toggled globally (trace-time static).
 _USE_PALLAS_RHS = False
+
+# RFF scale compatibility: canonical sqrt(2 var / S) by default; the reference
+# uses sqrt(var / S) (prior sample variance var/2, `dsvgp.py:136`). Toggle to
+# reproduce the reference's ELBO trajectories exactly.
+_RFF_SCALE_FACTOR = 2.0
+
+
+def set_rff_reference_scale(enabled: bool):
+    """True -> reproduce the reference's sqrt(var/S) RFF scaling (its prior
+    samples carry variance var/2); False (default) -> canonical sqrt(2var/S)."""
+    global _RFF_SCALE_FACTOR
+    _RFF_SCALE_FACTOR = 1.0 if enabled else 2.0
 
 
 def set_pallas_rhs(enabled: bool):
