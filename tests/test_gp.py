@@ -130,3 +130,32 @@ def test_grads_flow_through_elbo_style_objective():
         assert np.all(np.isfinite(np.asarray(leaf)))
     assert float(jnp.sum(jnp.abs(g.z))) > 0
     assert float(jnp.sum(jnp.abs(g.kernel.raw_lengthscales))) > 0
+
+
+def test_conditional_full_cov_consistent_with_diag():
+    key = jax.random.PRNGKey(10)
+    p = _make_params(key, dimwise=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 2)).astype(np.float32))
+    mean_d, var_d = gp.conditional(p, x, full_cov=False)
+    mean_f, var_f = gp.conditional(p, x, full_cov=True)
+    np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean_f), rtol=1e-4)
+    # diagonal of the full covariance equals the diag-mode variance
+    diag = np.asarray(jnp.diagonal(var_f, axis1=1, axis2=2)).T  # (N, D)
+    np.testing.assert_allclose(diag, np.asarray(var_d), rtol=1e-3, atol=1e-4)
+
+
+def test_rff_reference_scale_switch():
+    from gpode_tpu.models.gp import set_rff_reference_scale
+    key = jax.random.PRNGKey(11)
+    p = _make_params(key, dimwise=False)
+    x = jnp.ones((3, 2)) * 0.1
+    omega = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    phase = 2 * jnp.pi * jax.random.uniform(jax.random.PRNGKey(2), (1, 64))
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 2))
+    canonical = np.asarray(gp.rff_eval(p, omega, phase, w, x))
+    try:
+        set_rff_reference_scale(True)
+        reference = np.asarray(gp.rff_eval(p, omega, phase, w, x))
+    finally:
+        set_rff_reference_scale(False)
+    np.testing.assert_allclose(reference * np.sqrt(2.0), canonical, rtol=1e-5)
