@@ -16,8 +16,15 @@ Design stance (TPU-first, not a port):
     (reference used torchdiffeq).
   * `vmap` over Monte-Carlo function draws and shooting segments; `jax.sharding`
     meshes for multi-chip data/segment/sample parallelism.
+
+Public API entry points:
+  * `gpode_tpu.train.builders` — build_gpode / build_shooting / ModelArgs /
+    loss builders
+  * `gpode_tpu.models` — gp (SVGP core), gpode, shooting, neural_ode, states,
+    likelihoods, constraints, flow, init
+  * `gpode_tpu.ops` — math, kernels, ode, adjoint, pallas_kernels
+  * `gpode_tpu.train` — trainer, metrics, experiments
+  * `gpode_tpu.parallel` — mesh, train (GSPMD), shard_map_step (explicit)
 """
 
 __version__ = "0.1.0"
-
-from gpode_tpu.ops import math as ops_math  # noqa: F401

@@ -302,9 +302,12 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
     (tau, x, k1, dt, out, covered, nfe, nacc, natt), _ = jax.lax.scan(
         body, init, None, length=max_steps)
 
-    # Any obs time not covered (budget exhaustion): extrapolate from final state.
-    out = jnp.where(covered.reshape(obs_shape), out,
-                    x[None] + (taus.reshape(obs_shape) - tau) * k1[None])
+    # Any obs time not covered (budget exhaustion): fall back to the final
+    # integrator state (constant-in-time). Bounded by construction — a linear
+    # extrapolation here can explode on rough early-training fields and poison
+    # gradients. Check `stats.num_attempted` against the budget when
+    # diagnosing tolerance issues.
+    out = jnp.where(covered.reshape(obs_shape), out, x[None])
 
     stats = ODEStats(num_rhs_evals=nfe, num_accepted=nacc, num_attempted=natt)
     return out, stats

@@ -68,6 +68,7 @@ class ExperimentArgs:
     num_samples: int = 5
     lr: float = 5e-3
     lr_schedule: str = "constant"
+    grad_clip: float = 0.0
     eval_sample_size: int = 128
     save: str = "results/run"
     seed: int = 121
@@ -216,6 +217,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   lr_schedule=args.lr_schedule,
+                                  grad_clip=args.grad_clip,
                                   log_freq=args.log_freq,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
@@ -310,6 +312,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   lr_schedule=args.lr_schedule,
+                                  grad_clip=args.grad_clip,
                                   log_freq=args.log_freq, warmup_iters=100,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,

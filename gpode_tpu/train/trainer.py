@@ -31,6 +31,7 @@ class TrainConfig:
     num_iter: int = 5000
     lr: float = 5e-3
     lr_schedule: str = "constant"  # constant | cosine (decays to lr/100)
+    grad_clip: float = 0.0         # global-norm gradient clip (0 = off)
     log_freq: int = 10
     checkpoint_every: int = 0  # 0 = no periodic checkpoints
     warmup_iters: int = 0      # meters start after this many iters (MoCap uses 100)
@@ -82,12 +83,13 @@ class Trainer:
                  frozen_mask: Optional[Any] = None,
                  logger=None, checkpoint_path: Optional[str] = None):
         self.cfg = cfg
-        if cfg.lr_schedule == "cosine":
-            schedule = optax.cosine_decay_schedule(cfg.lr, cfg.num_iter,
-                                                   alpha=0.01)
-            self.optimizer = optax.adam(schedule)
+        lr = (optax.cosine_decay_schedule(cfg.lr, cfg.num_iter, alpha=0.01)
+              if cfg.lr_schedule == "cosine" else cfg.lr)
+        if cfg.grad_clip > 0:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip), optax.adam(lr))
         else:
-            self.optimizer = optax.adam(cfg.lr)
+            self.optimizer = optax.adam(lr)
         self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask)
         self.logger = logger
         self.checkpoint_path = checkpoint_path

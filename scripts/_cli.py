@@ -43,6 +43,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--num_iter", type=int, default=5000,
                    help="Number of gradient steps")
     p.add_argument("--lr", type=float, default=0.005, help="Adam learning rate")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="Global-norm gradient clip (0 = off)")
     p.add_argument("--lr_schedule", type=str, default="constant",
                    choices=("constant", "cosine"),
                    help="Learning-rate schedule (cosine decays to lr/100)")
