@@ -32,6 +32,25 @@ from gpode_tpu.ops import math as om
 from gpode_tpu.ops.kernels import rbf_K
 
 
+def _safe_cholesky(mat, jitter: float, max_tries: int = 6):
+    """Host-side Cholesky with escalating jitter.
+
+    K(Z,Z) from k-means centers can be numerically indefinite in f32 when M is
+    large (clustered centers push the smallest eigenvalue below f32 noise);
+    TPU's Cholesky then returns NaN where LAPACK may still succeed. This runs
+    at init time (concrete values), so retrying with 100x jitter is cheap
+    and matches the reference's intent (`model_initialization.py:39` used a
+    fixed 1e-6, tested only up to M=100).
+    """
+    for _ in range(max_tries):
+        chol = om.cholesky_jittered(mat, jitter)
+        if bool(jnp.all(jnp.isfinite(chol))):
+            return chol
+        jitter *= 100.0
+    raise FloatingPointError("Cholesky failed for inducing-init whitening "
+                             f"even at jitter={jitter}")
+
+
 def initialize_inducing(gp_params: gp.SVGPParams, data_ys: np.ndarray,
                         ts_max: float, data_noise: float = 1e-1,
                         rng: Optional[np.random.RandomState] = None,
@@ -66,7 +85,7 @@ def initialize_inducing(gp_params: gp.SVGPParams, data_ys: np.ndarray,
     kxz = rbf_K(kern, xs_sub, jnp.asarray(z))       # (n,M) or (D,n,M)
     kzz = rbf_K(kern, jnp.asarray(z))               # (M,M) or (D,M,M)
     lxx = om.cholesky_jittered(kxx, data_noise)
-    lzz = om.cholesky_jittered(kzz, 1e-6)
+    lzz = _safe_cholesky(kzz, 1e-6)
 
     if gp_params.dimwise:
         alpha = om.solve_lower(lxx, f_sub.T[:, :, None])          # (D,n,1)
