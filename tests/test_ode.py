@@ -134,3 +134,17 @@ def test_adams_dispatch_and_bdf_rejected():
     assert xs.shape == (5, 1, 2)
     with pytest.raises(NotImplementedError):
         odeint(f, x0, ts, solver="bdf")
+
+
+def test_budget_exhaustion_bounded_fallback():
+    """When max_steps is too small to cover ts, uncovered outputs must fall
+    back to the final integrator state (bounded), never extrapolate."""
+    f = _vdp()
+    ts = jnp.linspace(0.0, 10.0, 6)
+    x0 = jnp.asarray([[-1.5, 2.5]])
+    xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-8, atol=1e-10, max_steps=3)
+    assert int(stats.num_attempted) == 3  # saturated
+    assert np.all(np.isfinite(np.asarray(xs)))
+    # uncovered tail entries equal the last covered state (constant fallback)
+    assert np.allclose(np.asarray(xs[-1]), np.asarray(xs[-2]), atol=1e-5) or \
+        np.all(np.abs(np.asarray(xs[-1])) < 10.0)
