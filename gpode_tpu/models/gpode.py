@@ -51,12 +51,18 @@ class ELBOTerms(NamedTuple):
 
 
 def elbo_loss(key: jax.Array, params: GPODEParams, ys: jax.Array,
-              ts: jax.Array, cfg: SolverConfig,
-              num_features: int) -> tuple[jax.Array, ELBOTerms]:
+              ts: jax.Array, cfg: SolverConfig, num_features: int,
+              obs_mask: Optional[jax.Array] = None) -> tuple[jax.Array, ELBOTerms]:
     """Negative ELBO for one step; `(loss, terms)` for `value_and_grad(..., has_aux)`.
 
     ys: (N, T, D_obs); ts: (T,). One x0 sample and one GP function draw per
     step (`gpode/models.py:53-58`).
+
+    obs_mask (optional, (N, T) of {0,1}): marks which time points are
+    observed. Unobserved entries drop out of the likelihood and of the
+    `num_observations` KL scaling — interpolation/missing-data training on a
+    uniform solver grid (beyond the reference, which required dropping points
+    from the grid itself).
     """
     k_draw, k_x0 = jax.random.split(key)
     ts_aug = insert_zero_t0(ts)
@@ -66,8 +72,14 @@ def elbo_loss(key: jax.Array, params: GPODEParams, ys: jax.Array,
                                      num_features)
     xs = xs[:, 1:]                                              # drop the t=0 state
 
-    loglik = jnp.mean(likelihood_log_prob(params.likelihood, xs, ys))
-    num_obs = ys.size
+    lp = likelihood_log_prob(params.likelihood, xs, ys)
+    if obs_mask is None:
+        loglik = jnp.mean(lp)
+        num_obs = ys.size
+    else:
+        m = obs_mask[:, :, None].astype(lp.dtype)
+        loglik = jnp.sum(lp * m) / (jnp.sum(m) * lp.shape[-1])
+        num_obs = jnp.sum(m) * lp.shape[-1]
     x0_kl = initial_state_kl(params.x0) / num_obs
     ind_kl = gp.kl(params.gp) / num_obs
 

@@ -79,8 +79,8 @@ def integrate_segments(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
 
 def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
               ts: jax.Array, cfg: SolverConfig, num_features: int,
-              num_samples: int = 1,
-              state_sharding=None) -> tuple[jax.Array, ShootingELBOTerms]:
+              num_samples: int = 1, state_sharding=None,
+              obs_mask=None) -> tuple[jax.Array, ShootingELBOTerms]:
     """Negative shooting ELBO; ys: (N, T, D_obs), ts: (T,) uniform grid.
 
     One GP function draw is shared by all `num_samples` state samples, as in
@@ -101,13 +101,23 @@ def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
     draw = gp.draw_posterior(k_draw, params.gp, num_features)
     pred, stats = integrate_segments(params.gp, draw, ss, ts[:2], cfg)
 
-    observ_loglik = jnp.mean(likelihood_log_prob(params.likelihood, pred, ys[None]))
+    lp = likelihood_log_prob(params.likelihood, pred, ys[None])
+    if obs_mask is None:
+        observ_loglik = jnp.mean(lp)
+        num_obs = ys.size
+    else:
+        # masked time points contribute no likelihood; shooting states and
+        # the continuity constraint still span the full uniform grid, so the
+        # ODE posterior interpolates through gaps (beyond-reference: the
+        # shooting variant requires a uniform grid and could not do this).
+        m = obs_mask[None, :, :, None].astype(lp.dtype)
+        observ_loglik = jnp.sum(lp * m) / (s * jnp.sum(m) * lp.shape[-1])
+        num_obs = jnp.sum(m) * lp.shape[-1]
 
     entropy = shooting_entropy(params.states)                    # (N, T-1)
     constr = constraint_log_prob(params.constraint, ss[:, :, 1:, :],
                                  pred[:, :, :-1, :]).sum(axis=3)  # (S, N, T-1)
 
-    num_obs = ys.size
     scaled_constr = jnp.mean(constr, axis=0).sum() / num_obs
     scaled_entropy = entropy.sum() / num_obs
     x0_kl = initial_state_kl(params.states.x0) / num_obs

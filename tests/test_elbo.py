@@ -157,3 +157,40 @@ def test_remat_matches_plain_gradients():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_masked_elbo_matches_unmasked_when_fully_observed():
+    """obs_mask of all-ones must reproduce the unmasked ELBO exactly."""
+    from gpode_tpu.models.gpode import elbo_loss as v_elbo
+    from gpode_tpu.models.shooting import elbo_loss as s_elbo
+    ys, ts = _toy_data(t=6)
+    cfg = _ARGS.solver_config()
+    mask = jnp.ones(ys.shape[:2])
+
+    vp = build_gpode(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    l1, _ = v_elbo(jax.random.PRNGKey(1), vp, ys, ts, cfg, _ARGS.num_features)
+    l2, _ = v_elbo(jax.random.PRNGKey(1), vp, ys, ts, cfg, _ARGS.num_features,
+                   obs_mask=mask)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    sp = build_shooting(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    l3, _ = s_elbo(jax.random.PRNGKey(1), sp, ys, ts, cfg, _ARGS.num_features,
+                   num_samples=3)
+    l4, _ = s_elbo(jax.random.PRNGKey(1), sp, ys, ts, cfg, _ARGS.num_features,
+                   num_samples=3, obs_mask=mask)
+    np.testing.assert_allclose(float(l3), float(l4), rtol=1e-5)
+
+
+def test_masked_elbo_ignores_corrupted_hidden_points():
+    """Corrupting masked-out observations must not change the masked loss."""
+    from gpode_tpu.models.shooting import elbo_loss as s_elbo
+    ys, ts = _toy_data(t=6)
+    cfg = _ARGS.solver_config()
+    mask = jnp.ones(ys.shape[:2]).at[:, 2].set(0.0)
+    sp = build_shooting(jax.random.PRNGKey(0), _ARGS, np.asarray(ys))
+    l1, _ = s_elbo(jax.random.PRNGKey(1), sp, ys, ts, cfg, _ARGS.num_features,
+                   num_samples=3, obs_mask=mask)
+    ys_bad = ys.at[:, 2].set(1e6)
+    l2, _ = s_elbo(jax.random.PRNGKey(1), sp, ys_bad, ts, cfg, _ARGS.num_features,
+                   num_samples=3, obs_mask=mask)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
