@@ -375,23 +375,31 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     return params, trainer, metrics
 
 
-def run_fhn_interpolation(args: ExperimentArgs, small: bool = False):
-    """FHN interpolation experiment: train on the shipped non-uniform observed
-    grid, score the held-out interpolation window.
+def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
+                          shooting_variant: bool = False):
+    """FHN interpolation experiment: score the held-out interpolation window.
 
     Uses the reference's `data/fhn/fhn_interpolation[_small].npz` splits
     (SURVEY.md §2 #17: evidence of the paper's interpolation experiments; the
-    reference ships the data without a driver). Non-uniform observation times
-    exercise the solvers' dense-output path directly — no masking tricks.
+    reference ships the data without a driver). Two modes:
+
+      * vanilla (default): train directly on the non-uniform observed times —
+        the dense-output solvers handle arbitrary grids;
+      * shooting: train on the FULL uniform 50-point grid with the held-out
+        points masked out of the likelihood (`obs_mask`) — the continuity
+        constraint carries the posterior through the gap. The reference's
+        shooting model required every grid point observed.
     """
     from gpode_tpu.data.fhn import load_fhn_interpolation
-    name = "fhn_interpolation"
+    from gpode_tpu.models import shooting as shooting_mod
+    name = ("fhn_interpolation_shooting" if shooting_variant
+            else "fhn_interpolation")
     logger = _setup_run(args, name)
     key = jax.random.PRNGKey(args.seed)
 
     split = load_fhn_interpolation(args.data_path, small=small)
-    train_ys, train_ts = split["train_ys"], split["train_ts"]
     full_ts = split["full_ts"]
+    mask = split["interpolation_mask"]          # True = held out
 
     margs = args.model_args()
     cfg = margs.solver_config()
@@ -399,18 +407,45 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False):
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
-    params = build_gpode(k_build, margs, train_ys)
-    params = params._replace(gp=initialize_inducing(
-        params.gp, train_ys, float(train_ts.max()), rng=rng))
-    params = initialize_latents_with_data(k_init, params, train_ys, train_ts,
-                                          cfg, margs.num_features)
+    if shooting_variant:
+        # uniform grid + observation mask; hidden entries filled with zeros
+        train_ts = full_ts
+        train_ys = np.where(mask[None, :, None], 0.0, split["full_ys"])
+        obs_mask = jnp.asarray(np.broadcast_to(~mask, train_ys.shape[:2])
+                               .astype(np.float32))
+    else:
+        train_ys, train_ts = split["train_ys"], split["train_ts"]
+        obs_mask = None
+
+    if shooting_variant:
+        params = build_shooting(k_build, margs, train_ys)
+        params = params._replace(gp=initialize_inducing(
+            params.gp, split["train_ys"], float(split["train_ts"].max()),
+            rng=rng))
+        params = initialize_shooting_states_with_data(
+            k_init, params, train_ys, train_ts, cfg, margs.num_features)
+
+        def loss_fn(p, k, ys, ts):
+            return shooting_mod.elbo_loss(k, p, ys, ts, cfg,
+                                          margs.num_features,
+                                          num_samples=margs.num_samples,
+                                          obs_mask=obs_mask)
+        frozen = build_frozen_mask(params, default_frozen_predicate(margs))
+    else:
+        params = build_gpode(k_build, margs, train_ys)
+        params = params._replace(gp=initialize_inducing(
+            params.gp, train_ys, float(train_ts.max()), rng=rng))
+        params = initialize_latents_with_data(k_init, params, train_ys,
+                                              train_ts, cfg, margs.num_features)
+        loss_fn = gpode_loss_fn(margs)
+        frozen = None
 
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
-    trainer = Trainer(gpode_loss_fn(margs),
+    trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   log_freq=args.log_freq,
                                   checkpoint_every=args.checkpoint_every),
-                      logger=logger,
+                      frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
     params, opt_state, _ = trainer.train(
         params, key0 if key0 is not None else k_train,
@@ -423,10 +458,12 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False):
 
     # predict on the full grid from the optimized x0 posterior; score the
     # held-out interpolation window
-    pred_full = np.asarray(gpode.predict(k_eval, params, jnp.asarray(full_ts),
+    x0_post = params.states.x0 if shooting_variant else params.x0
+    vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
+                                likelihood=params.likelihood)
+    pred_full = np.asarray(gpode.predict(k_eval, vparams, jnp.asarray(full_ts),
                                          eval_cfg, margs.num_features,
                                          num_draws=args.eval_sample_size))
-    mask = split["interpolation_mask"]
     noise_var = np.asarray(params.likelihood.variance)
     interp_ll, interp_mse = compute_summary(split["full_ys"][:, mask],
                                             pred_full[:, :, mask], noise_var)

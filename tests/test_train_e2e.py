@@ -153,3 +153,16 @@ def test_run_fhn_interpolation_driver(tmp_path):
                           save=str(tmp_path))
     _, _, metrics = run_fhn_interpolation(args, small=True)
     assert np.isfinite(metrics["interp_mse"])
+
+
+def test_run_fhn_interpolation_shooting_masked(tmp_path):
+    """Masked shooting interpolation (beyond-reference capability)."""
+    from gpode_tpu.train.experiments import ExperimentArgs, run_fhn_interpolation
+    args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
+                          ts_dense_scale=3, max_steps=16, num_iter=4,
+                          num_samples=2, eval_sample_size=2, log_freq=2,
+                          checkpoint_every=0, plots=False, data_path="data/fhn",
+                          save=str(tmp_path))
+    _, _, metrics = run_fhn_interpolation(args, small=True,
+                                          shooting_variant=True)
+    assert np.isfinite(metrics["interp_mse"])
