@@ -228,6 +228,8 @@ def run_2d(args: ExperimentArgs, data, name: str,
                                          start_iter=start_iter,
                                          opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
+    from gpode_tpu.train.trainer import save_trace
+    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
                      "key": k_train, "step": args.num_iter})
@@ -323,6 +325,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                          start_iter=start_iter,
                                          opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
+    from gpode_tpu.train.trainer import save_trace
+    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
                      "key": k_train, "step": args.num_iter})
@@ -452,6 +456,8 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
         jnp.asarray(train_ys), jnp.asarray(train_ts),
         start_iter=start_iter, opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
+    from gpode_tpu.train.trainer import save_trace
+    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
                      "key": k_train, "step": args.num_iter})

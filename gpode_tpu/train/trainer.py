@@ -193,3 +193,25 @@ class Trainer:
                 break
         self._drain(pending, begin, cfg.warmup_iters)
         return params, opt_state, key
+
+
+def save_trace(trainer: "Trainer", path: str):
+    """Dump the optimization trace (per-iteration meter histories) to JSON.
+
+    Completes the observability story (SURVEY.md §5): the reference kept
+    traces only inside meter objects for plotting; this persists them as an
+    artifact alongside `model_predictions.npz`.
+    """
+    import json
+
+    payload = {}
+    for name, meter in (("loss", trainer.loss_meter),
+                        ("observ_nll", trainer.observ_nll_meter),
+                        ("state_kl", trainer.state_kl_meter),
+                        ("x0_kl", trainer.init_kl_meter),
+                        ("inducing_kl", trainer.inducing_kl_meter),
+                        ("step_time", trainer.time_meter)):
+        if meter.vals:
+            payload[name] = {"iters": meter.iters, "vals": meter.vals}
+    with open(path, "w") as f:
+        json.dump(payload, f)
