@@ -29,6 +29,11 @@ import time
 def measure_steps_per_sec(iters: int = 30, warmup: int = 3,
                           scale: bool = False, fast: bool = False) -> dict:
     import jax
+    cache_dir = os.environ.get("GPODE_TPU_JAX_CACHE",
+                               os.path.expanduser("~/.cache/gpode_tpu_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -12,6 +12,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: first compiles of solver-scan train steps take
+# minutes (remote AOT); cached reruns start in seconds.
+_CACHE_DIR = os.environ.get("GPODE_TPU_JAX_CACHE",
+                            os.path.expanduser("~/.cache/gpode_tpu_jax"))
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gpode_tpu.train.builders import CONSTRAINTS, SOLVERS  # noqa: E402
 from gpode_tpu.train.experiments import ExperimentArgs  # noqa: E402
 
