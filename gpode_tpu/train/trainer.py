@@ -150,7 +150,9 @@ class Trainer:
         cfg = self.cfg
         pending = []  # (iteration, device-side terms) awaiting meter drain
         begin = time.time()
-        for itr in range(start_iter, cfg.num_iter):
+        # Iterations are numbered 1..num_iter inclusive: exactly num_iter
+        # optimizer steps, matching the reference's `for itr in range(iters)`.
+        for itr in range(start_iter, cfg.num_iter + 1):
             try:
                 params, opt_state, key, terms = self.step_fn(
                     params, opt_state, key, *batch)

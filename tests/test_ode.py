@@ -145,6 +145,8 @@ def test_budget_exhaustion_bounded_fallback():
     xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-8, atol=1e-10, max_steps=3)
     assert int(stats.num_attempted) == 3  # saturated
     assert np.all(np.isfinite(np.asarray(xs)))
-    # uncovered tail entries equal the last covered state (constant fallback)
-    assert np.allclose(np.asarray(xs[-1]), np.asarray(xs[-2]), atol=1e-5) or \
-        np.all(np.abs(np.asarray(xs[-1])) < 10.0)
+    # uncovered tail entries all equal the final integrator state (constant
+    # fallback): with 3 steps at this tolerance the solver covers none of the
+    # interior observation times, so xs[-1] and xs[-2] are both the fallback.
+    np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(xs[-2]),
+                               rtol=0, atol=0)
