@@ -70,7 +70,7 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         xs = odeint_adjoint(rhs_p, (gp_params, draw), x0, ts, cfg.solver,
                             cfg.rtol, cfg.atol, cfg.substeps, cfg.max_steps)
         zero = jnp.zeros((), dtype=jnp.int32)
-        return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero)
+        return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero, zero)
 
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)

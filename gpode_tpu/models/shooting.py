@@ -55,6 +55,12 @@ class ShootingELBOTerms(NamedTuple):
     x0_kl: jax.Array
     inducing_kl: jax.Array
     nfe: jax.Array
+    # Adaptive-solver health: attempted steps vs budget and observation-time
+    # coverage (num_covered < T means the budget-exhaustion fallback fired,
+    # cutting gradients through the dynamics — watch these when tuning
+    # max_steps; fixed-step solvers always report full coverage).
+    natt: jax.Array
+    ncov: jax.Array
 
 
 def stack_segments(x: jax.Array) -> jax.Array:
@@ -127,4 +133,5 @@ def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
     return loss, ShootingELBOTerms(
         loss=loss, observ_nll=-observ_loglik,
         state_kl=-(scaled_constr + scaled_entropy),
-        x0_kl=x0_kl, inducing_kl=ind_kl, nfe=stats.num_rhs_evals)
+        x0_kl=x0_kl, inducing_kl=ind_kl, nfe=stats.num_rhs_evals,
+        natt=stats.num_attempted, ncov=stats.num_covered)

@@ -48,6 +48,11 @@ class ODEStats(NamedTuple):
     num_rhs_evals: jax.Array
     num_accepted: jax.Array
     num_attempted: jax.Array
+    # Observation times produced by real integration/dense output (as opposed
+    # to the budget-exhaustion fallback). Fixed-step solvers always cover all
+    # of `ts`; for adaptive solvers num_covered < len(ts) flags an exhausted
+    # step budget.
+    num_covered: jax.Array
 
 
 def _rms(x: jax.Array) -> jax.Array:
@@ -114,7 +119,8 @@ def odeint_fixed(f: Callable, x0: jax.Array, ts: jax.Array, *,
     nfe = jnp.asarray(total_steps * evals_per_step)
     stats = ODEStats(num_rhs_evals=nfe,
                      num_accepted=jnp.asarray(total_steps),
-                     num_attempted=jnp.asarray(total_steps))
+                     num_attempted=jnp.asarray(total_steps),
+                     num_covered=jnp.asarray(num_t))
     return xs, stats
 
 
@@ -152,7 +158,8 @@ def odeint_adams(f: Callable, x0: jax.Array, ts: jax.Array, *,
     total = (ts.shape[0] - 1) * per_interval
     stats = ODEStats(num_rhs_evals=jnp.asarray(total),
                      num_accepted=jnp.asarray((ts.shape[0] - 1) * substeps),
-                     num_attempted=jnp.asarray((ts.shape[0] - 1) * substeps))
+                     num_attempted=jnp.asarray((ts.shape[0] - 1) * substeps),
+                     num_covered=jnp.asarray(ts.shape[0]))
     return xs, stats
 
 
@@ -309,7 +316,8 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
     # diagnosing tolerance issues.
     out = jnp.where(covered.reshape(obs_shape), out, x[None])
 
-    stats = ODEStats(num_rhs_evals=nfe, num_accepted=nacc, num_attempted=natt)
+    stats = ODEStats(num_rhs_evals=nfe, num_accepted=nacc, num_attempted=natt,
+                     num_covered=jnp.sum(covered))
     return out, stats
 
 

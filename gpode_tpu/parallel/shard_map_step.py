@@ -108,7 +108,8 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
             terms = ShootingELBOTerms(
                 loss=loss, observ_nll=-observ_loglik,
                 state_kl=-(scaled_constr + entropy), x0_kl=x0_kl,
-                inducing_kl=ind_kl, nfe=stats.num_rhs_evals)
+                inducing_kl=ind_kl, nfe=stats.num_rhs_evals,
+                natt=stats.num_attempted, ncov=stats.num_covered)
             return loss, terms
 
         return sharded(params, key, ys, ts)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from gpode_tpu.utils.checkpoint import save_checkpoint
-from gpode_tpu.utils.meters import CachedAverageMeter, CachedRunningAverageMeter
+from gpode_tpu.utils.meters import Meter
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,12 +94,12 @@ class Trainer:
         self.logger = logger
         self.checkpoint_path = checkpoint_path
 
-        self.loss_meter = CachedRunningAverageMeter(0.98)
-        self.observ_nll_meter = CachedRunningAverageMeter(0.98)
-        self.state_kl_meter = CachedRunningAverageMeter(0.98)
-        self.init_kl_meter = CachedRunningAverageMeter(0.98)
-        self.inducing_kl_meter = CachedRunningAverageMeter(0.98)
-        self.time_meter = CachedAverageMeter()
+        self.loss_meter = Meter("ema", 0.98)
+        self.observ_nll_meter = Meter("ema", 0.98)
+        self.state_kl_meter = Meter("ema", 0.98)
+        self.init_kl_meter = Meter("ema", 0.98)
+        self.inducing_kl_meter = Meter("ema", 0.98)
+        self.time_meter = Meter("mean")
         self.last_nfe = 0
 
     def _log(self, msg: str):
@@ -182,6 +182,13 @@ class Trainer:
                         parts.append(f"IND KL {self.inducing_kl_meter.val:.2f}"
                                      f"({self.inducing_kl_meter.avg:.2f})")
                         parts.append(f"NFE {self.last_nfe}")
+                        # throughput from the drained windows (BASELINE.json
+                        # metrics): steps/s and solver rhs-evals/s
+                        if self.time_meter.avg > 0:
+                            sps = 1.0 / self.time_meter.avg
+                            parts.append(f"Steps/s {sps:.1f}")
+                            if self.last_nfe:
+                                parts.append(f"RHS/s {sps * self.last_nfe:.0f}")
                         self._log(" | ".join(parts))
 
                 if (cfg.checkpoint_every and self.checkpoint_path

@@ -1,71 +1,51 @@
-"""Optimization-trace meters (reference: `src/misc/meter_utils.py:1-83`).
+"""Optimization-trace scalar meter.
 
-Host-side scalar accumulators: plain averages and EMA running averages, each
-with an optional cached per-iteration history for trace plots.
+One accumulator covers every trace the training loop records (the reference
+keeps four near-identical classes for this, `src/misc/meter_utils.py:1-83`):
+a smoothing rule — arithmetic mean or exponential moving average — plus an
+always-on (iteration, value) history for trace plots and JSON dumps.
 """
 
 from __future__ import annotations
 
 
-class AverageMeter:
-    """Running mean of scalar updates."""
+class Meter:
+    """Scalar stream summary with per-iteration history.
 
-    def __init__(self):
-        self.reset()
+    mode="mean": `avg` is the running arithmetic mean of all updates (weighted
+    by `weight`), `sum` the weighted total.
+    mode="ema":  `avg` is an exponential moving average with the given
+    momentum, seeded by the first update (the reference's trace-smoothing
+    convention, momentum 0.98).
+    """
 
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
-
-    def update(self, val, n: int = 1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count
-
-
-class CachedAverageMeter(AverageMeter):
-    """AverageMeter that also records (iteration, value) history."""
-
-    def reset(self):
-        super().reset()
-        self.vals = []
-        self.iters = []
-
-    def update(self, val, iteration, n: int = 1):
-        super().update(val, n)
-        self.vals.append(val)
-        self.iters.append(iteration)
-
-
-class RunningAverageMeter:
-    """Exponential moving average (momentum per `meter_utils.py:44-58`)."""
-
-    def __init__(self, momentum: float = 0.99):
+    def __init__(self, mode: str = "mean", momentum: float = 0.98):
+        if mode not in ("mean", "ema"):
+            raise ValueError(f"unknown meter mode {mode!r}")
+        self.mode = mode
         self.momentum = momentum
         self.reset()
 
     def reset(self):
-        self.val = None
+        self.val: float | None = None  # most recent update
         self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.vals: list[float] = []
+        self.iters: list[int] = []
 
-    def update(self, val):
-        self.avg = val if self.val is None else (
-            self.avg * self.momentum + val * (1.0 - self.momentum))
+    def update(self, val: float, iteration: int = 0, weight: int = 1):
+        first = self.val is None
         self.val = val
-
-
-class CachedRunningAverageMeter(RunningAverageMeter):
-    """EMA meter with per-iteration history (`meter_utils.py:62-83`)."""
-
-    def reset(self):
-        super().reset()
-        self.vals = []
-        self.iters = []
-
-    def update(self, val, iteration):
-        super().update(val)
+        self.sum += val * weight
+        self.count += weight
+        if self.mode == "mean":
+            self.avg = self.sum / self.count
+        else:
+            self.avg = val if first else (
+                self.momentum * self.avg + (1.0 - self.momentum) * val)
         self.vals.append(val)
         self.iters.append(iteration)
+
+    def __bool__(self) -> bool:
+        return bool(self.vals)
