@@ -66,6 +66,14 @@ class ExperimentArgs:
     # training (`train_vdp_gpode.py:56-68`)
     num_iter: int = 5000
     num_samples: int = 5
+    # validation-split evaluation cadence (MoCap; 0 = off). Every val_freq
+    # iterations the val LL/MSE are computed in data space, recorded in the
+    # optimization trace, and the best-val-LL checkpoint is kept — the early
+    # stop the reference's protocol implies (its loader keeps a val split it
+    # never consumes, `src/datasets/mocap.py:84-86`) and the guard against the
+    # segment-overfitting regime documented in RESULTS.md.
+    val_freq: int = 500
+    val_draws: int = 32
     lr: float = 5e-3
     lr_schedule: str = "constant"
     grad_clip: float = 0.0
@@ -311,6 +319,37 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
               if shooting_variant else None)
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
+
+    # periodic validation: full-trajectory predictions from the observed val
+    # x0, scored in 50-D data space; best-val-LL params are checkpointed
+    from gpode_tpu.utils.meters import Meter
+    val_meters = {"val_ll": Meter(), "val_mse": Meter()}
+    val_callback = None
+    if args.val_freq > 0:
+        val_ts = jnp.asarray(data_pca.val.ts)
+        val_x0 = jnp.asarray(data_pca.val.ys[:, 0])
+        val_ys_full = data_full.val.ys
+        best = {"ll": -np.inf}
+
+        def val_callback(itr, p):
+            x0_p = p.states.x0 if shooting_variant else p.x0
+            vp = gpode.GPODEParams(gp=p.gp, x0=x0_p, likelihood=p.likelihood)
+            zs = gpode.predict(jax.random.fold_in(k_eval, itr), vp, val_ts,
+                               eval_cfg, margs.num_features,
+                               num_draws=args.val_draws, x0=val_x0)
+            ys_pred = np.asarray(project(projector, zs))
+            nv = np.asarray(p.likelihood.variance)
+            ll, mse = compute_summary(val_ys_full, ys_pred, nv)
+            val_meters["val_ll"].update(ll, itr)
+            val_meters["val_mse"].update(mse, itr)
+            marker = ""
+            if ll > best["ll"]:
+                best["ll"] = ll
+                save_checkpoint(os.path.join(args.save, "checkpt_best.npz"),
+                                {"params": p, "step": itr, "val_ll": ll})
+                marker = " *best"
+            logger.info(f"[VAL] iter {itr} LL {ll:.3f} | MSE {mse:.3f}{marker}")
+
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   lr_schedule=args.lr_schedule,
@@ -318,7 +357,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                   log_freq=args.log_freq, warmup_iters=100,
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
-                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
+                      checkpoint_path=os.path.join(args.save, "checkpt.npz"),
+                      callback=val_callback, callback_every=args.val_freq)
     params, opt_state, _ = trainer.train(params, key0 if key0 is not None else k_train,
                                          jnp.asarray(data_full.trn.ys),
                                          jnp.asarray(data_pca.trn.ts),
@@ -326,7 +366,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                          opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
     from gpode_tpu.train.trainer import save_trace
-    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
+    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"),
+               extra=val_meters)
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
                      "key": k_train, "step": args.num_iter})

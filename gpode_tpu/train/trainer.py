@@ -81,7 +81,9 @@ class Trainer:
 
     def __init__(self, loss_fn: Callable, cfg: TrainConfig,
                  frozen_mask: Optional[Any] = None,
-                 logger=None, checkpoint_path: Optional[str] = None):
+                 logger=None, checkpoint_path: Optional[str] = None,
+                 callback: Optional[Callable] = None,
+                 callback_every: int = 0):
         self.cfg = cfg
         lr = (optax.cosine_decay_schedule(cfg.lr, cfg.num_iter, alpha=0.01)
               if cfg.lr_schedule == "cosine" else cfg.lr)
@@ -93,6 +95,11 @@ class Trainer:
         self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask)
         self.logger = logger
         self.checkpoint_path = checkpoint_path
+        # periodic host callback(itr, params) — e.g. validation evaluation;
+        # runs after a drain so `params` is settled, and its wall time is
+        # excluded from the step-time meter
+        self.callback = callback
+        self.callback_every = callback_every
 
         self.loss_meter = Meter("ema", 0.98)
         self.observ_nll_meter = Meter("ema", 0.98)
@@ -197,6 +204,13 @@ class Trainer:
                     save_checkpoint(self.checkpoint_path,
                                     {"params": params, "opt_state": opt_state,
                                      "key": key, "step": itr})
+                    begin = time.time()
+
+                if (self.callback is not None and self.callback_every
+                        and itr % self.callback_every == 0):
+                    self._drain(pending, begin, cfg.warmup_iters)
+                    self.callback(itr, params)
+                    begin = time.time()
             except KeyboardInterrupt:
                 self._log("Stopping optimization")
                 break
@@ -204,23 +218,25 @@ class Trainer:
         return params, opt_state, key
 
 
-def save_trace(trainer: "Trainer", path: str):
+def save_trace(trainer: "Trainer", path: str, extra=None):
     """Dump the optimization trace (per-iteration meter histories) to JSON.
 
     Completes the observability story (SURVEY.md §5): the reference kept
     traces only inside meter objects for plotting; this persists them as an
-    artifact alongside `model_predictions.npz`.
+    artifact alongside `model_predictions.npz`. `extra` maps additional trace
+    names to Meters (e.g. validation metrics recorded by a callback).
     """
     import json
 
-    payload = {}
-    for name, meter in (("loss", trainer.loss_meter),
-                        ("observ_nll", trainer.observ_nll_meter),
-                        ("state_kl", trainer.state_kl_meter),
-                        ("x0_kl", trainer.init_kl_meter),
-                        ("inducing_kl", trainer.inducing_kl_meter),
-                        ("step_time", trainer.time_meter)):
-        if meter.vals:
-            payload[name] = {"iters": meter.iters, "vals": meter.vals}
+    named = [("loss", trainer.loss_meter),
+             ("observ_nll", trainer.observ_nll_meter),
+             ("state_kl", trainer.state_kl_meter),
+             ("x0_kl", trainer.init_kl_meter),
+             ("inducing_kl", trainer.inducing_kl_meter),
+             ("step_time", trainer.time_meter)]
+    if extra:
+        named.extend(extra.items())
+    payload = {name: {"iters": meter.iters, "vals": meter.vals}
+               for name, meter in named if meter.vals}
     with open(path, "w") as f:
         json.dump(payload, f)

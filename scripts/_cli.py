@@ -89,6 +89,11 @@ def add_mocap_flags(p: argparse.ArgumentParser):
     p.add_argument("--num_latents", type=int, default=5,
                    help="Latent (PCA) dimensionality")
     p.add_argument("--data_path", type=str, default="data/mocap")
+    p.add_argument("--val_freq", type=int, default=500,
+                   help="Validation-eval cadence in iterations (0 = off); "
+                        "tracks val LL/MSE and keeps the best checkpoint")
+    p.add_argument("--val_draws", type=int, default=32,
+                   help="Posterior draws per validation evaluation")
 
 
 def add_shooting_flags(p: argparse.ArgumentParser):
