@@ -67,6 +67,48 @@ def show_inducing(gp_params, data):
     plt.show()
 
 
+def show_model_initialization(key, params, data, cfg, num_features: int,
+                              num_draws: int = 20, ax=None):
+    """Init-stage snapshot (`src/misc/plot_utils.py:11-60`): posterior mean
+    field streamplot, mean predicted trajectory, observations, and the state
+    posterior means (x0 always; shooting states when `params` has them)."""
+    from gpode_tpu.models import gpode as gpode_mod
+
+    show = ax is None
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5.5, 5.5))
+    xx, yy, grid = _grid(data)
+    mean, _ = gp_mod.conditional(params.gp, jnp.asarray(grid, dtype=jnp.float32))
+    mean = np.asarray(mean)
+    ax.streamplot(xx, yy, mean[:, 0].reshape(xx.shape),
+                  mean[:, 1].reshape(xx.shape), color="grey")
+    ax.set_xticks([]), ax.set_yticks([])
+
+    has_states = hasattr(params, "states")
+    x0_post = params.states.x0 if has_states else params.x0
+    vparams = gpode_mod.GPODEParams(gp=params.gp, x0=x0_post,
+                                    likelihood=params.likelihood)
+    pred = np.asarray(gpode_mod.predict(key, vparams,
+                                        jnp.asarray(data.trn.ts), cfg,
+                                        num_features,
+                                        num_draws=num_draws)).mean(0)
+    ax.plot(pred[0, :, 0], pred[0, :, 1], c="tab:red", lw=1.0, zorder=1)
+    ax.scatter(pred[0, :, 0], pred[0, :, 1], marker="x", c="tab:red", s=18,
+               zorder=2, label="predicted ys")
+    ax.scatter(data.trn.ys[0, :, 0], data.trn.ys[0, :, 1], marker="x", c="k",
+               s=18, zorder=2, label="observed ys")
+    if has_states:
+        sm = np.asarray(params.states.mean)
+        ax.scatter(sm[0, :, 0], sm[0, :, 1], marker="x", c="tab:blue", s=18,
+                   zorder=3, label="latent xs (mean)")
+    x0m = np.asarray(x0_post.mean)
+    ax.scatter(x0m[0, 0], x0m[0, 1], marker="o", c="tab:blue", zorder=4,
+               label="latent x0 (mean)")
+    ax.legend(loc="lower right", fontsize=8)
+    if show:
+        plt.show()
+
+
 def show_trace(trainer):
     fig, axs = plt.subplots(1, 3, figsize=(12, 2.8))
     for (name, meter), ax in zip(

@@ -137,6 +137,169 @@ def plot_model_initialization(gp_params, data, save_dir: str, fname: str):
     plt.close(fig)
 
 
+def plot_shooting_initialization(key, params, data, cfg, num_features: int,
+                                 save_dir: str, fname: str,
+                                 num_draws: int = 20):
+    """Shooting-model snapshot (`gpode_shooting/plots_2d.py:12-64`): posterior
+    mean field streamplot with the mean predicted trajectory from q(x0)
+    (red), the shooting-state posterior means (blue), and observations
+    overlaid. The reference averages 100 function draws for the field; the
+    exact conditional mean is the same quantity without the MC noise."""
+    import jax
+    import jax.numpy as jnp_
+
+    from gpode_tpu.models import gpode as gpode_mod
+
+    xx, yy, grid = _grid(data)
+    mean, _ = gp_mod.conditional(params.gp, jnp.asarray(grid, dtype=jnp.float32))
+    mean = np.asarray(mean)
+
+    # mean trajectory from q(x0) over the train grid + one extrapolated point
+    ts = np.asarray(data.trn.ts)
+    ts_ext = jnp_.asarray(np.concatenate([ts, [2 * ts[-1] - ts[-2]]]),
+                          dtype=jnp_.float32)
+    vparams = gpode_mod.GPODEParams(gp=params.gp, x0=params.states.x0,
+                                    likelihood=params.likelihood)
+    pred = np.asarray(gpode_mod.predict(key, vparams, ts_ext, cfg,
+                                        num_features,
+                                        num_draws=num_draws)).mean(0)
+    states_mean = np.asarray(params.states.mean)        # (N, T-1, D)
+    x0_mean = np.asarray(params.states.x0.mean)         # (N, D)
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.streamplot(xx, yy, mean[:, 0].reshape(xx.shape),
+                  mean[:, 1].reshape(xx.shape), color="grey")
+    ax.plot(pred[0, :, 0], pred[0, :, 1], c="tab:red", lw=1.0, zorder=1)
+    ax.scatter(pred[0, :, 0], pred[0, :, 1], marker="x", c="tab:red", s=18,
+               zorder=2, label="ys (mean trajectory)")
+    ax.scatter(states_mean[0, :, 0], states_mean[0, :, 1], marker="x",
+               c="tab:blue", s=18, zorder=3, label="xs (shooting states)")
+    ax.scatter(x0_mean[0, 0], x0_mean[0, 1], marker="o", c="tab:blue",
+               zorder=4, label="x0")
+    ax.scatter(data.trn.ys[0, :, 0], data.trn.ys[0, :, 1], marker="x", c="k",
+               s=18, zorder=2, label="obs")
+    ax.set_xticks([]), ax.set_yticks([])
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, fname), dpi=120)
+    plt.close(fig)
+
+
+def _long_pred_panel(ax, ts, data_seq, pred_seq, noise_var=None):
+    """One (sequence, dim) band panel shared by the plot_long_pred family."""
+    m, v = pred_seq.mean(0), pred_seq.var(0)
+    ax.plot(ts, m, c="tab:red", alpha=0.6)
+    ax.fill_between(ts, m - 2 * np.sqrt(v), m + 2 * np.sqrt(v),
+                    color="tab:red", alpha=0.15, zorder=1, label="posterior")
+    if noise_var is not None:
+        sp = np.sqrt(v + noise_var)
+        ax.fill_between(ts, m - 2 * sp, m + 2 * sp, color="tab:blue",
+                        alpha=0.12, zorder=0, label="predictive")
+    ax.scatter(ts, data_seq, c="k", s=6, marker=".", zorder=200)
+
+
+def plot_long_pred(data_ys: np.ndarray, pred: np.ndarray, ts: np.ndarray,
+                   save_dir: str, name: str, noise_var=None):
+    """Long-horizon per-sequence band grid (`gpode_shooting/plots_2d.py:238-268`
+    and, with noise_var, the `plot_longnoise_pred` variant `:265-293`):
+    up to 4 sequences x D state panels of posterior (+ predictive) bands.
+
+    data_ys: (N, T, D); pred: (S, N, T, D) posterior draws."""
+    nobs = min(pred.shape[1], 4)
+    d = pred.shape[-1]
+    fig, axs = plt.subplots(nobs, d, figsize=(6 * d, 2.6 * nobs),
+                            sharex="all", squeeze=False)
+    for i in range(nobs):
+        for j in range(d):
+            nv = None if noise_var is None else noise_var[j % len(noise_var)]
+            _long_pred_panel(axs[i, j], np.asarray(ts), data_ys[i, :, j],
+                             pred[:, i, :, j], nv)
+            if i == 0:
+                axs[i, j].set_title(f"state {j + 1}")
+            if i == nobs - 1:
+                axs[i, j].set_xlabel("time")
+        axs[i, -1].legend(loc="lower left", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, name), dpi=120)
+    plt.close(fig)
+
+
+def plot_long_pred_single(data_ys: np.ndarray, pred: np.ndarray,
+                          ts: np.ndarray, save_dir: str, name: str,
+                          noise_var=None):
+    """Single-sequence variant (`gpode_shooting/plots_2d.py:296-343`)."""
+    d = pred.shape[-1]
+    fig, axs = plt.subplots(1, d, figsize=(6 * d, 2.6), sharex="all",
+                            squeeze=False)
+    for j in range(d):
+        nv = None if noise_var is None else noise_var[j % len(noise_var)]
+        _long_pred_panel(axs[0, j], np.asarray(ts), data_ys[0, :, j],
+                         pred[:, 0, :, j], nv)
+        axs[0, j].set_title(f"state {j + 1}")
+        axs[0, j].set_xlabel("time")
+    axs[0, -1].legend(loc="lower left", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, name), dpi=120)
+    plt.close(fig)
+
+
+def plot_node_longitudinal(data, test_pred: np.ndarray, save_dir: str,
+                           fname: str = "plt_longitudinal.png"):
+    """Deterministic neural-ODE predictive trajectories vs truth
+    (`src/neuralode/plots_2d.py:11-32`). test_pred: (N, T, D)."""
+    d = test_pred.shape[-1]
+    fig, axs = plt.subplots(1, d, figsize=(6 * d, 3), squeeze=False)
+    for dim in range(d):
+        ax = axs[0, dim]
+        ax.plot(data.tst.ts, test_pred[0, :, dim], c="tab:red", alpha=0.8,
+                zorder=3, label="predictive trajectory")
+        ax.plot(data.tst.ts, data.tst.ys[0, :, dim], c="k", alpha=0.7,
+                zorder=2, label="true trajectory")
+        ax.scatter(data.trn.ts, data.trn.ys[0, :, dim], c="k", s=20,
+                   marker=".", zorder=200, label="train obs")
+        ax.set_title(f"State {dim + 1}")
+        ax.set_xlabel("Time")
+    axs[0, -1].legend(loc="upper right", fontsize=8)
+    fig.suptitle("Predictive plot for NeuralODE")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, fname), dpi=120)
+    plt.close(fig)
+
+
+def plot_node_vectorfield(rhs_fn, data, test_pred: np.ndarray, save_dir: str,
+                          fname: str = "plt_vectorfield.png"):
+    """True vs learned deterministic field with trajectories overlaid
+    (`src/neuralode/plots_2d.py:35-95`). rhs_fn: (G, 2) -> (G, 2)."""
+    xx, yy, grid = _grid(data)
+    true_field = np.stack([data.f(g) for g in grid])
+    learned = np.asarray(rhs_fn(jnp.asarray(grid, dtype=jnp.float32)))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 5), sharex=True,
+                                   sharey=True)
+    ax1.streamplot(xx, yy, true_field[:, 0].reshape(xx.shape),
+                   true_field[:, 1].reshape(xx.shape), color="grey")
+    ax1.scatter(data.trn.ys[:, :, 0], data.trn.ys[:, :, 1], c="k", s=12,
+                marker=".", label="training obs")
+    ax1.set_title("True vectorfield")
+    ax1.legend(loc="lower right", fontsize=8)
+    ax2.streamplot(xx, yy, learned[:, 0].reshape(xx.shape),
+                   learned[:, 1].reshape(xx.shape), color="k")
+    for n in range(test_pred.shape[0]):
+        ax2.plot(test_pred[n, :, 0], test_pred[n, :, 1], c="tab:green",
+                 alpha=0.5, lw=2.0, zorder=3,
+                 label="predicted trajectory" if n == 0 else None)
+        ax2.plot(data.tst.ys[n, :, 0], data.tst.ys[n, :, 1], c="k", lw=0.6,
+                 alpha=0.9, zorder=4,
+                 label="true trajectory" if n == 0 else None)
+    ax2.set_title("Learned vectorfield")
+    ax2.legend(loc="lower left", fontsize=8)
+    for ax in (ax1, ax2):
+        ax.set_xlim(data.xlim), ax.set_ylim(data.ylim)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, fname), dpi=120)
+    plt.close(fig)
+
+
 def plot_trace(trainer, save_dir: str, fname: str = "plt_optimization_trace.png"):
     """Loss / NLL / KL traces from the trainer meters
     (`gpode/plots_2d.py:293-308`)."""

@@ -196,8 +196,9 @@ def run_2d(args: ExperimentArgs, data, name: str,
         params = build_shooting(k_build, margs, data.trn.ys)
         if args.plots:
             from gpode_tpu.plots import plots_2d
-            plots_2d.plot_model_initialization(
-                params.gp, data, args.save, "model_before_initialization.png")
+            plots_2d.plot_shooting_initialization(
+                k_init, params, data, cfg, margs.num_features, args.save,
+                "model_before_initialization.png")
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
         params = initialize_shooting_states_with_data(
@@ -218,8 +219,13 @@ def run_2d(args: ExperimentArgs, data, name: str,
         frozen = None
     if args.plots:
         from gpode_tpu.plots import plots_2d
-        plots_2d.plot_model_initialization(
-            params.gp, data, args.save, "model_after_initialization.png")
+        if shooting_variant:
+            plots_2d.plot_shooting_initialization(
+                k_init, params, data, cfg, margs.num_features, args.save,
+                "model_after_initialization.png")
+        else:
+            plots_2d.plot_model_initialization(
+                params.gp, data, args.save, "model_after_initialization.png")
 
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
     trainer = Trainer(loss_fn,
@@ -253,10 +259,18 @@ def run_2d(args: ExperimentArgs, data, name: str,
 
     if args.plots:
         from gpode_tpu.plots import plots_2d
-        plots_2d.plot_longitudinal(data, test_pred,
-                                   np.asarray(params.likelihood.variance), args.save)
+        noise_var = np.asarray(params.likelihood.variance)
+        plots_2d.plot_longitudinal(data, test_pred, noise_var, args.save)
         plots_2d.plot_vectorfield(params.gp, data, test_pred, args.save)
         plots_2d.plot_inducing_posterior(params.gp, data, args.save)
+        plots_2d.plot_long_pred(data.tst.ys, test_pred, data.tst.ts,
+                                args.save, "plt_long_pred.png")
+        plots_2d.plot_long_pred(data.tst.ys, test_pred, data.tst.ts,
+                                args.save, "plt_longnoise_pred.png",
+                                noise_var=noise_var)
+        plots_2d.plot_long_pred_single(data.tst.ys, test_pred, data.tst.ts,
+                                       args.save, "plt_longnoise_pred_single.png",
+                                       noise_var=noise_var)
         if shooting_variant:
             plots_2d.plot_shooting_states(params.states, data, args.save)
         plots_2d.plot_trace(trainer, args.save)
@@ -289,6 +303,30 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     builder = build_shooting if shooting_variant else build_gpode
     params = builder(k_build, margs, data_pca.trn.ys, projector=projector,
                      full_dim=d_full)
+
+    def _plot_mocap_predictions(tag, zs_pred, ys_pred):
+        """Latent- and data-space prediction grids for a training-pipeline
+        stage (`train_mocap_gpode.py:116-137, 227-243`)."""
+        from gpode_tpu.plots import plots_mocap
+        plots_mocap.plot_pca_predictions(data_pca.trn.ys, zs_pred,
+                                         data_pca.trn.ts, args.save,
+                                         name=f"plt_latents_{tag}")
+        plots_mocap.plot_data_predictions(data_full.trn.ys, ys_pred,
+                                          data_pca.trn.ts, args.save,
+                                          name=f"plt_data_{tag}")
+
+    if args.plots:
+        x0_pre = params.states.x0 if shooting_variant else params.x0
+        vp0 = gpode.GPODEParams(gp=params.gp, x0=x0_pre,
+                                likelihood=params.likelihood)
+        pre_zs = np.asarray(gpode.predict(
+            k_noise, vp0, jnp.asarray(data_pca.trn.ts), cfg,
+            margs.num_features, num_draws=16,
+            x0=jnp.asarray(data_pca.trn.ys[:, 0])))
+        _plot_mocap_predictions("before_initialization", pre_zs,
+                                np.asarray(project(projector,
+                                                   jnp.asarray(pre_zs))))
+
     params = params._replace(gp=initialize_kernel_parameters(
         params.gp, lengthscale_value=1.25, variance_value=0.5))
     params = params._replace(gp=initialize_inducing(
@@ -314,6 +352,9 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
     params = params._replace(likelihood=initialize_noisevar(
         params.likelihood, 1.5 * resid_var))
+    if args.plots:
+        _plot_mocap_predictions("after_initialization", np.asarray(init_zs),
+                                init_ys)
 
     loss_fn = shooting_loss_fn(margs) if shooting_variant else gpode_loss_fn(margs)
     frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
@@ -414,6 +455,9 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         plots_mocap.plot_inducing_posterior_3d(params.gp, train_pred_zs,
                                                args.save,
                                                name="inducing_posterior_train")
+        plots_mocap.plot_inducing_posterior_3d(params.gp, test_pred_zs,
+                                               args.save,
+                                               name="inducing_posterior_test")
         plots_mocap.plot_trace(trainer, args.save)
     metrics = dict(train_ll=train_ll, train_mse=train_mse,
                    test_ll=test_ll, test_mse=test_mse)

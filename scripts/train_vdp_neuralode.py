@@ -54,6 +54,11 @@ if __name__ == "__main__":
                                                jnp.asarray(data.trn.ts), cfg))
     logger.info(f"[TRAIN] MSE {compute_mse(data.trn.ys, train_pred):.3f}")
     logger.info(f"[TEST]  MSE {compute_mse(data.tst.ys[:, t_train:], test_pred[:, t_train:]):.3f}")
+    if not ns.no_plots:
+        from gpode_tpu.plots import plots_2d
+        plots_2d.plot_node_longitudinal(data, test_pred, ns.save)
+        plots_2d.plot_node_vectorfield(
+            lambda x: neural_ode.mlp_rhs(params, x), data, test_pred, ns.save)
     save_checkpoint(os.path.join(ns.save, "checkpt.npz"), {"params": params})
     np.savez(os.path.join(ns.save, "model_predictions.npz"),
              train_pred=train_pred, test_pred=test_pred,
