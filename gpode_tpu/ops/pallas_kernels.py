@@ -182,6 +182,181 @@ def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
     return out[:n]                                           # (N, D)
 
 
+def _fused_rhs_bwd_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref,
+                          phase_ref, w_ref, nu_ref, g_ref,
+                          dx_ref, dz_ref, dls_ref, dvar_ref, domega_ref,
+                          dphase_ref, dw_ref, dnu_ref):
+    """Fused VJP of the decoupled-sampling rhs: one n-tile program.
+
+    Recomputes the forward intermediates (phi, gram) in VMEM and produces all
+    eight cotangents. dx is tile-indexed; the parameter cotangents use
+    constant-index output blocks accumulated across the (sequential) TPU grid
+    with an init-on-first-step pattern. Matvec-shaped contractions run as VPU
+    multiply-reduces (Mosaic cannot lower output-dim-1 MXU dots).
+    """
+    ni = pl.program_id(0)
+    d_out = inv_ls_ref.shape[0]
+    din = x_ref.shape[1]
+    s = omega_ref.shape[2]
+    x = x_ref[:]                                    # (TN, Din)
+    z = z_ref[:]                                    # (M, Din)
+
+    dx_cols = []          # [d][k] -> (TN, 1)
+    dz_cols = []          # [d][k] -> (M,)
+    dls_rows = []         # [d] -> (Din,) scalars list
+    dvar_rows = []        # [d] -> scalar
+    domega_rows = []      # [d] -> (Din, S)
+    dphase_rows = []      # [d] -> (1, S)
+    dw_rows = []          # [d] -> (1, S)
+    dnu_rows = []         # [d] -> (1, M)
+    for d in range(d_out):                          # static tiny loop
+        g_d = g_ref[:, d:d + 1]                     # (TN, 1)
+        var_d = var_ref[d, 0]
+        scale = jnp.sqrt(2.0 * var_d / s)
+
+        # ---- RFF prior part ----
+        xo = jnp.dot(x, omega_ref[d], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + phase_ref[d]
+        cos_xo = jnp.cos(xo)                        # (TN, S)
+        phi = cos_xo * scale
+        dphi = g_d * w_ref[d]                       # (TN, S)
+        dxo = -jnp.sin(xo) * scale * dphi           # (TN, S)
+
+        dw_rows.append(jnp.sum(phi * g_d, axis=0, keepdims=True))    # (1, S)
+        dphase_rows.append(jnp.sum(dxo, axis=0, keepdims=True))      # (1, S)
+        # dvar via scale: d scale / d var = scale / (2 var)
+        dvar_d = jnp.sum(cos_xo * dphi) * scale / (2.0 * var_d)
+
+        # ---- Gram / pathwise-update part ----
+        sq = _sqdist_tile(x, z, inv_ls_ref[d])
+        gram = var_d * jnp.exp(-0.5 * sq)           # (TN, M)
+        dgram = g_d * nu_ref[d]                     # (TN, M)
+        dnu_rows.append(jnp.sum(gram * g_d, axis=0, keepdims=True))  # (1, M)
+        dvar_rows.append(dvar_d + jnp.sum(dgram * gram) / var_d)
+        dsq = -0.5 * gram * dgram                   # (TN, M)
+
+        # ---- per-input-dim chains (static Din loop) ----
+        dx_parts, dz_parts, dls_parts, domega_parts = [], [], [], []
+        for k in range(din):
+            inv = inv_ls_ref[d, k]
+            # RFF chain: dxo @ omega[k]^T and x[:,k]^T @ dxo
+            dx_rff = jnp.sum(dxo * omega_ref[d, k][None, :], axis=1,
+                             keepdims=True)                          # (TN, 1)
+            domega_parts.append(jnp.sum(x[:, k:k + 1] * dxo, axis=0))  # (S,)
+            # Gram chain: d sq / d x_k = 2 (x_k - z_k) inv^2
+            diff = x[:, k:k + 1] - z[:, k][None, :]                  # (TN, M)
+            w_sq = dsq * diff                                        # (TN, M)
+            dx_gram = 2.0 * inv * inv * jnp.sum(w_sq, axis=1,
+                                                keepdims=True)       # (TN, 1)
+            dz_parts.append(-2.0 * inv * inv * jnp.sum(w_sq, axis=0))  # (M,)
+            # d sq / d ls_k = -2 (x_k - z_k)^2 / ls^3
+            dls_parts.append(-2.0 * inv ** 3 * jnp.sum(w_sq * diff))
+            dx_parts.append(dx_rff + dx_gram)
+        dx_cols.append(dx_parts)
+        dz_cols.append(dz_parts)
+        dls_rows.append(dls_parts)
+        domega_rows.append(jnp.stack(domega_parts, axis=0))          # (Din, S)
+
+    # assemble whole-block tile contributions
+    dx_tile = jnp.concatenate(
+        [sum(dx_cols[d][k] for d in range(d_out)) for k in range(din)],
+        axis=1)                                                       # (TN, Din)
+    dz_tile = jnp.stack(
+        [sum(dz_cols[d][k] for d in range(d_out)) for k in range(din)],
+        axis=1)                                                       # (M, Din)
+    dls_tile = jnp.array(dls_rows, dtype=jnp.float32)                 # (D, Din)
+    dvar_tile = jnp.array(dvar_rows, dtype=jnp.float32).reshape(d_out, 1)
+    domega_tile = jnp.stack(domega_rows, axis=0)                      # (D, Din, S)
+    dphase_tile = jnp.stack(dphase_rows, axis=0)                      # (D, 1, S)
+    dw_tile = jnp.stack(dw_rows, axis=0)                              # (D, 1, S)
+    dnu_tile = jnp.stack(dnu_rows, axis=0)                            # (D, 1, M)
+
+    dx_ref[:] = dx_tile
+
+    @pl.when(ni == 0)
+    def _init():
+        dz_ref[:] = dz_tile
+        dls_ref[:] = dls_tile
+        dvar_ref[:] = dvar_tile
+        domega_ref[:] = domega_tile
+        dphase_ref[:] = dphase_tile
+        dw_ref[:] = dw_tile
+        dnu_ref[:] = dnu_tile
+
+    @pl.when(ni > 0)
+    def _accum():
+        dz_ref[:] += dz_tile
+        dls_ref[:] += dls_tile
+        dvar_ref[:] += dvar_tile
+        domega_ref[:] += domega_tile
+        dphase_ref[:] += dphase_tile
+        dw_ref[:] += dw_tile
+        dnu_ref[:] += dnu_tile
+
+
+def _fused_rhs_bwd_pallas(x, z, lengthscales, variance, omega, phase, weights,
+                          nu, g, *, tile_n: int, interpret: bool):
+    """Run the fused backward kernel; returns cotangents in the forward's
+    argument layout."""
+    n, din = x.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    tile_n = min(tile_n, max(8, n))
+    x_p = _pad_rows(x, tile_n)
+    g_p = _pad_rows(g.astype(jnp.float32), tile_n)  # zero rows -> zero cotangents
+    n_pad = x_p.shape[0]
+
+    inv_ls = (1.0 / lengthscales).astype(jnp.float32)
+    var2d = variance.reshape(d, 1).astype(jnp.float32)
+    omega_t = jnp.moveaxis(omega, -1, 0)            # (D, Din, S)
+    phase_t = jnp.moveaxis(phase, -1, 0)            # (D, 1, S)
+    w_t = weights.T[:, None, :]                     # (D, 1, S)
+    nu_t = nu[:, None, :]                           # (D, 1, M)
+
+    const = _full_spec
+    outs = pl.pallas_call(
+        _fused_rhs_bwd_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            const((m, din)), const((d, din)),
+            pl.BlockSpec((d, 1), lambda ni: (0, 0), memory_space=pltpu.SMEM),
+            const((d, din, s)), const((d, 1, s)), const((d, 1, s)),
+            const((d, 1, m)),
+            pl.BlockSpec((tile_n, d), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),             # dx
+            const((m, din)),                                   # dz
+            const((d, din)),                                   # dls
+            const((d, 1)),                                     # dvar
+            const((d, din, s)),                                # domega
+            const((d, 1, s)),                                  # dphase
+            const((d, 1, s)),                                  # dweights
+            const((d, 1, m)),                                  # dnu
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+            jax.ShapeDtypeStruct((m, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, din, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
+    dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
+    return (dx[:n], dz, dls, dvar.reshape(variance.shape),
+            jnp.moveaxis(domega_t, 0, -1), jnp.moveaxis(dphase_t, 0, -1),
+            dw_t[:, 0, :].T, dnu_t[:, 0, :])
+
+
 def _rhs_reference_jnp(x, z, lengthscales, variance, omega, phase, weights, nu):
     """jnp reference implementation (mirrors models/gp rff_eval + eval_draw for
     the dimwise case); used for the custom-VJP backward recompute."""
@@ -225,8 +400,8 @@ def _fused_rhs_fwd(x, z, lengthscales, variance, omega, phase, weights, nu,
 
 
 def _fused_rhs_bwd(tile_n, interpret, residuals, g):
-    _, vjp = jax.vjp(_rhs_reference_jnp, *residuals)
-    return vjp(g)
+    return _fused_rhs_bwd_pallas(*residuals, g, tile_n=tile_n,
+                                 interpret=interpret)
 
 
 fused_rhs.defvjp(_fused_rhs_fwd, _fused_rhs_bwd)

@@ -138,15 +138,30 @@ def test_adams_dispatch_and_bdf_rejected():
 
 def test_budget_exhaustion_bounded_fallback():
     """When max_steps is too small to cover ts, uncovered outputs must fall
-    back to the final integrator state (bounded), never extrapolate."""
+    back to the final integrator state (bounded), never extrapolate: forcing
+    oversized steps to guarantee coverage is RK-unstable on this field."""
     f = _vdp()
     ts = jnp.linspace(0.0, 10.0, 6)
     x0 = jnp.asarray([[-1.5, 2.5]])
     xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-8, atol=1e-10, max_steps=3)
-    assert int(stats.num_attempted) == 3  # saturated
+    assert int(stats.num_attempted) == 3          # saturated
+    assert int(stats.num_covered) < 6             # exhaustion observable
     assert np.all(np.isfinite(np.asarray(xs)))
-    # uncovered tail entries all equal the final integrator state (constant
-    # fallback): with 3 steps at this tolerance the solver covers none of the
-    # interior observation times, so xs[-1] and xs[-2] are both the fallback.
+    # uncovered tail entries all equal the final integrator state
     np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(xs[-2]),
                                rtol=0, atol=0)
+
+
+def test_final_time_is_exact_rk_step_not_interpolation():
+    """Steps must not overshoot ts[-1]: the endpoint at a loose tolerance
+    must match a tight-tolerance solve to RK accuracy, not to dense-output
+    interpolation accuracy inside a big overshooting step."""
+    f = _vdp()
+    ts = jnp.asarray([0.0, 0.01], dtype=jnp.float32)   # one shooting interval
+    x0 = jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32)
+    xs_loose, stats = odeint_dopri5(f, x0, ts, rtol=1e-3, atol=1e-3,
+                                    max_steps=8)
+    xs_tight, _ = odeint_dopri5(f, x0, ts, rtol=1e-10, atol=1e-12,
+                                max_steps=64)
+    np.testing.assert_allclose(np.asarray(xs_loose[-1]),
+                               np.asarray(xs_tight[-1]), rtol=0, atol=5e-6)

@@ -82,3 +82,21 @@ def test_fused_rhs_gradients_match_reference():
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gnu1), np.asarray(gnu2), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_backward_kernel_all_cotangents():
+    """The fused Pallas backward produces all eight cotangents equal to the
+    jnp-reference VJP, including with N not a multiple of the tile (padded
+    g rows must contribute zero)."""
+    from gpode_tpu.ops.pallas_kernels import _fused_rhs_bwd_pallas
+    inputs = _setup(n=77, s=32)
+    g = jnp.asarray(np.random.default_rng(9).normal(size=(77, 4)).astype(np.float32))
+    _, vjp = jax.vjp(_rhs_reference_jnp, *inputs)
+    want = vjp(g)
+    got = _fused_rhs_bwd_pallas(*inputs, g, tile_n=32, interpret=_INTERP)
+    names = ("dx", "dz", "dls", "dvar", "domega", "dphase", "dw", "dnu")
+    for nm, a, b in zip(names, want, got):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=nm)
