@@ -34,7 +34,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-SOLVERS = ("dopri5", "rk4", "midpoint", "euler", "explicit_adams", "fixed_adams")
+SOLVERS = ("dopri5", "rk4", "midpoint", "euler", "explicit_adams",
+           "fixed_adams", "adams", "implicit_adams")
 
 _SAFETY = 0.9
 _IFACTOR = 10.0
@@ -121,6 +122,54 @@ def odeint_fixed(f: Callable, x0: jax.Array, ts: jax.Array, *,
                      num_accepted=jnp.asarray(total_steps),
                      num_attempted=jnp.asarray(total_steps),
                      num_covered=jnp.asarray(num_t))
+    return xs, stats
+
+
+def odeint_adams_moulton(f: Callable, x0: jax.Array, ts: jax.Array, *,
+                         substeps: int = 4, corrector_iters: int = 1):
+    """Implicit 4th-order Adams-Bashforth-Moulton predictor-corrector (PECE).
+
+    The reference whitelists torchdiffeq's implicit `adams`
+    (`train_vdp_gpode.py:26`), which resolves the implicit Adams-Moulton
+    corrector by functional iteration — the same scheme here: AB4 predictor,
+    then `corrector_iters` sweeps of the AM4 corrector
+        y_{n+1} = y_n + h (9 f(y_{n+1}) + 19 f_n - 5 f_{n-1} + f_{n-2}) / 24.
+    Like :func:`odeint_adams`, the method restarts per observation interval
+    (uniform sub-step h required), bootstrapping the first 3 sub-steps with
+    RK4. The loop is a static unroll inside one `lax.scan` over intervals.
+    """
+    ab4 = (55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0)
+    am4 = (9.0 / 24.0, 19.0 / 24.0, -5.0 / 24.0, 1.0 / 24.0)
+
+    def interval(x, t_pair):
+        t0, t1 = t_pair
+        h = (t1 - t0) / substeps
+        hist = []  # f history, newest first
+        t = t0
+        for i in range(substeps):
+            if i < 3:
+                hist.insert(0, f(t, x))
+                x, _ = _rk4_step(f, t, x, h)
+            else:
+                hist.insert(0, f(t, x))
+                pred = x + h * sum(b * fk for b, fk in zip(ab4, hist[:4]))
+                for _ in range(corrector_iters):
+                    f_new = f(t + h, pred)
+                    pred = x + h * (am4[0] * f_new
+                                    + sum(b * fk for b, fk in zip(am4[1:], hist[:3])))
+                x = pred
+            t = t + h
+        return x, x
+
+    _, xs = jax.lax.scan(interval, x0, (ts[:-1], ts[1:]))
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    per_interval = (5 * min(3, substeps)
+                    + max(0, substeps - 3) * (1 + corrector_iters))
+    total = (ts.shape[0] - 1) * per_interval
+    steps = jnp.asarray((ts.shape[0] - 1) * substeps)
+    stats = ODEStats(num_rhs_evals=jnp.asarray(total), num_accepted=steps,
+                     num_attempted=steps,
+                     num_covered=jnp.asarray(ts.shape[0]))
     return xs, stats
 
 
@@ -357,9 +406,12 @@ def odeint(f: Callable, x0: jax.Array, ts: jax.Array, *, solver: str = "dopri5",
         return odeint_dopri5(f, x0, ts, rtol=rtol, atol=atol, max_steps=max_steps)
     if solver in ("explicit_adams", "fixed_adams"):
         return odeint_adams(f, x0, ts, substeps=max(substeps, 4))
-    if solver in ("bdf", "adams"):
+    if solver in ("adams", "implicit_adams"):
+        return odeint_adams_moulton(f, x0, ts, substeps=max(substeps, 4))
+    if solver == "bdf":
         raise NotImplementedError(
-            f"implicit multistep solver {solver!r} is not provided; the "
-            "reference's default (dopri5) and all fixed-step explicit solvers "
-            "are — use dopri5 for stiff-ish problems at tight tolerances")
+            "'bdf' is phantom in the reference too: its CLI whitelists it "
+            "(train_vdp_gpode.py:26) but torchdiffeq 0.2.0 has no BDF method "
+            "— selecting it crashes inside torchdiffeq. Use dopri5 (tight "
+            "tolerances) or 'adams' (implicit Adams-Moulton PECE) instead")
     return odeint_fixed(f, x0, ts, solver=solver, substeps=substeps)

@@ -23,7 +23,8 @@ from gpode_tpu.models.likelihoods import (GaussianLikelihood,
                                           Projector, init_gaussian_likelihood)
 from gpode_tpu.models.states import init_initial_state, init_shooting_states
 
-SOLVERS = ("dopri5", "rk4", "midpoint", "euler")
+SOLVERS = ("dopri5", "rk4", "midpoint", "euler", "explicit_adams",
+           "fixed_adams", "adams", "implicit_adams")
 CONSTRAINTS = ("gauss", "laplace")
 
 

@@ -132,8 +132,27 @@ def test_adams_dispatch_and_bdf_rejected():
     x0 = jnp.asarray([[0.1, 0.2]])
     xs, _ = odeint(f, x0, ts, solver="explicit_adams", substeps=6)
     assert xs.shape == (5, 1, 2)
+    xs, _ = odeint(f, x0, ts, solver="adams", substeps=6)
+    assert xs.shape == (5, 1, 2)
     with pytest.raises(NotImplementedError):
         odeint(f, x0, ts, solver="bdf")
+
+
+def test_implicit_adams_matches_scipy_on_vdp():
+    """AB4-AM4 PECE ('adams', the reference's implicit Adams whitelist entry)
+    converges on VDP; the corrector should beat plain AB4 at equal substeps."""
+    from gpode_tpu.ops.ode import odeint_adams, odeint_adams_moulton
+    ts_np = np.linspace(0, 5.0, 11)
+    want = scipy_odeint(_vdp_np, [-1.5, 2.5], ts_np, rtol=1e-10, atol=1e-10)
+    x0 = jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32)
+    ts = jnp.asarray(ts_np, dtype=jnp.float32)
+    xs_pece, stats = odeint_adams_moulton(_vdp(), x0, ts, substeps=8)
+    np.testing.assert_allclose(np.asarray(xs_pece)[:, 0], want, atol=1e-3)
+    assert int(stats.num_rhs_evals) > 0
+    err_pece = np.abs(np.asarray(xs_pece)[:, 0] - want).max()
+    xs_ab, _ = odeint_adams(_vdp(), x0, ts, substeps=8)
+    err_ab = np.abs(np.asarray(xs_ab)[:, 0] - want).max()
+    assert err_pece < err_ab
 
 
 def test_budget_exhaustion_bounded_fallback():
