@@ -202,7 +202,8 @@ def run_2d(args: ExperimentArgs, data, name: str,
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
         params = initialize_shooting_states_with_data(
-            k_init, params, data.trn.ys, data.trn.ts, cfg, margs.num_features)
+            k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
+            margs.num_features)
         loss_fn = shooting_loss_fn(margs)
         frozen = build_frozen_mask(params, default_frozen_predicate(margs))
     else:
@@ -214,7 +215,8 @@ def run_2d(args: ExperimentArgs, data, name: str,
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
         params = initialize_latents_with_data(
-            k_init, params, data.trn.ys, data.trn.ts, cfg, margs.num_features)
+            k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
+            margs.num_features)
         loss_fn = gpode_loss_fn(margs)
         frozen = None
     if args.plots:
@@ -320,7 +322,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         vp0 = gpode.GPODEParams(gp=params.gp, x0=x0_pre,
                                 likelihood=params.likelihood)
         pre_zs = np.asarray(gpode.predict(
-            k_noise, vp0, jnp.asarray(data_pca.trn.ts), cfg,
+            k_noise, vp0, jnp.asarray(data_pca.trn.ts), eval_cfg,
             margs.num_features, num_draws=16,
             x0=jnp.asarray(data_pca.trn.ys[:, 0])))
         _plot_mocap_predictions("before_initialization", pre_zs,
@@ -333,12 +335,12 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0, rng=rng))
     if shooting_variant:
         params = initialize_shooting_states_with_data(
-            k_init, params, data_pca.trn.ys, data_pca.trn.ts, cfg,
+            k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
             margs.num_features)
         x0_post = params.states.x0
     else:
         params = initialize_latents_with_data(
-            k_init, params, data_pca.trn.ys, data_pca.trn.ts, cfg,
+            k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
             margs.num_features)
         x0_post = params.x0
 
@@ -346,8 +348,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     # (`train_mocap_gpode.py:125-131`)
     vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
                                 likelihood=params.likelihood)
-    init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts), cfg,
-                            margs.num_features, num_draws=16)
+    init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts),
+                            eval_cfg, margs.num_features, num_draws=16)
     init_ys = np.asarray(project(projector, init_zs))
     resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
     params = params._replace(likelihood=initialize_noisevar(
@@ -512,7 +514,7 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
             params.gp, split["train_ys"], float(split["train_ts"].max()),
             rng=rng))
         params = initialize_shooting_states_with_data(
-            k_init, params, train_ys, train_ts, cfg, margs.num_features)
+            k_init, params, train_ys, train_ts, eval_cfg, margs.num_features)
 
         def loss_fn(p, k, ys, ts):
             return shooting_mod.elbo_loss(k, p, ys, ts, cfg,
@@ -525,7 +527,8 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
         params = params._replace(gp=initialize_inducing(
             params.gp, train_ys, float(train_ts.max()), rng=rng))
         params = initialize_latents_with_data(k_init, params, train_ys,
-                                              train_ts, cfg, margs.num_features)
+                                              train_ts, eval_cfg,
+                                              margs.num_features)
         loss_fn = gpode_loss_fn(margs)
         frozen = None
 
