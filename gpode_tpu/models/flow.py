@@ -38,6 +38,10 @@ class SolverConfig:
     atol: float = 1e-6
     ts_dense_scale: int = 1
     max_steps: int = 256
+    # Initial adaptive step size (torchdiffeq's `first_step` option); None ->
+    # Hairer's heuristic; ode.FIRST_STEP_SPAN (-1.0) -> the whole span (the
+    # right choice for one-interval shooting segments).
+    first_step: Optional[float] = None
     # Rematerialize rhs evaluations in the backward pass instead of storing
     # them: trades FLOPs for memory on long trajectories.
     remat: bool = False
@@ -81,7 +85,7 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
 
     xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
                        atol=cfg.atol, substeps=cfg.substeps,
-                       max_steps=cfg.max_steps)
+                       max_steps=cfg.max_steps, first_step=cfg.first_step)
     return jnp.moveaxis(xs, 0, 1), stats
 
 

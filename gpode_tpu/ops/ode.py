@@ -42,6 +42,11 @@ _IFACTOR = 10.0
 _DFACTOR = 0.2
 _ORDER = 5.0  # dopri5 error-control order
 
+# `first_step` sentinel: attempt the whole integration span as the first step
+# (the right choice for shooting segments, whose single short interval is
+# usually covered by one accepted step — skips the 2-eval init heuristic).
+FIRST_STEP_SPAN = -1.0
+
 
 class ODEStats(NamedTuple):
     """Solver diagnostics (all scalars)."""
@@ -275,8 +280,15 @@ def _hermite(t, t0, t1, x0, f0, x1, f1):
 
 def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
                   rtol: float = 1e-6, atol: float = 1e-6,
-                  max_steps: int = 256):
+                  max_steps: int = 256, first_step: float | None = None):
     """Adaptive Dormand-Prince 5(4) with dense output at `ts`.
+
+    `first_step` (torchdiffeq's option of the same name) skips Hairer's
+    initial-step heuristic — and its extra rhs evaluation — when the caller
+    knows a good starting dt. The sentinel :data:`FIRST_STEP_SPAN` (-1.0)
+    means "the whole integration span": right for multiple-shooting segments,
+    where one accepted step usually covers the single short interval (the
+    controller still rejects/shrinks if the tolerance disagrees).
 
     `ts` may be increasing or decreasing (backward integration); internally
     time is folded to tau = direction * (t - ts[0]) so stepping is always
@@ -305,8 +317,15 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         return direction * f(t0 + direction * tau, x)
 
     f0 = f_tau(0.0, x0)
-    dt0 = jax.lax.stop_gradient(
-        _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol))
+    if first_step is None:
+        dt0 = jax.lax.stop_gradient(
+            _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol))
+        nfe0 = 2  # f0 + the heuristic's probe evaluation
+    else:
+        dt0 = (tau_final if first_step == FIRST_STEP_SPAN
+               else jnp.asarray(first_step, dtype=x0.dtype))
+        dt0 = jax.lax.stop_gradient(jnp.minimum(dt0, tau_final))
+        nfe0 = 1  # f0 only (FSAL seed)
 
     num_t = ts.shape[0]
     out0 = jnp.zeros((num_t,) + x0.shape, dtype=x0.dtype)
@@ -382,7 +401,7 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
                 nfe_next, nacc_next, natt_next), None
 
     init = (jnp.zeros_like(tau_final), x0, f0, dt0, out0, covered0,
-            jnp.asarray(2), jnp.asarray(0), jnp.asarray(0))
+            jnp.asarray(nfe0), jnp.asarray(0), jnp.asarray(0))
     (tau, x, k1, dt, out, covered, nfe, nacc, natt), _ = jax.lax.scan(
         body, init, None, length=max_steps)
 
@@ -400,10 +419,11 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
 
 def odeint(f: Callable, x0: jax.Array, ts: jax.Array, *, solver: str = "dopri5",
            rtol: float = 1e-6, atol: float = 1e-6, substeps: int = 1,
-           max_steps: int = 256):
+           max_steps: int = 256, first_step: float | None = None):
     """Uniform entry point over all solvers; see `odeint_fixed`/`odeint_dopri5`."""
     if solver == "dopri5":
-        return odeint_dopri5(f, x0, ts, rtol=rtol, atol=atol, max_steps=max_steps)
+        return odeint_dopri5(f, x0, ts, rtol=rtol, atol=atol,
+                             max_steps=max_steps, first_step=first_step)
     if solver in ("explicit_adams", "fixed_adams"):
         return odeint_adams(f, x0, ts, substeps=max(substeps, 4))
     if solver in ("adams", "implicit_adams"):

@@ -42,6 +42,7 @@ class ModelArgs:
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 256
+    first_step: Optional[float] = None  # dopri5 initial dt; -1.0 = full span
     use_adjoint: bool = False
     remat: bool = False
     num_samples: int = 5  # shooting MC draws per step
@@ -53,6 +54,7 @@ class ModelArgs:
         return SolverConfig(solver=self.solver, rtol=self.rtol, atol=self.atol,
                             ts_dense_scale=self.ts_dense_scale,
                             max_steps=self.max_steps,
+                            first_step=self.first_step,
                             use_adjoint=self.use_adjoint, remat=self.remat)
 
 

@@ -38,21 +38,30 @@ def _torch_rk4_odeint(func, x0, ts, rtol=None, atol=None, method="rk4",
     return torch.stack(xs)
 
 
-def run_reference(num_iter: int, seed: int = 121):
-    """The reference's train_vdp_gpode.py pipeline, driven as a library."""
+def run_reference(num_iter: int, seed: int = 121, shooting: bool = False):
+    """The reference's train_vdp_gpode[_shooting].py pipeline, as a library."""
     stub = types.ModuleType("torchdiffeq")
     stub.odeint = _torch_rk4_odeint
     stub.odeint_adjoint = _torch_rk4_odeint
     sys.modules.setdefault("torchdiffeq", stub)
     sys.path.insert(0, "/root/reference")
     from src.datasets.vanderpol import VanderPol
-    from src.gpode.model_builder import (build_model, compute_loss,
-                                         compute_predictions, compute_summary)
-    from src.gpode.model_initialization import (initialize_inducing,
-                                                initialize_latents_with_data)
+    if shooting:
+        from src.gpode_shooting.model_builder import (build_model,
+                                                      compute_loss,
+                                                      compute_predictions,
+                                                      compute_summary)
+        from src.gpode_shooting.model_initialization import (
+            initialize_inducing, initialize_latents_with_data)
+    else:
+        from src.gpode.model_builder import (build_model, compute_loss,
+                                             compute_predictions,
+                                             compute_summary)
+        from src.gpode.model_initialization import (
+            initialize_inducing, initialize_latents_with_data)
     from src.misc.torch_utils import seed_everything, torch2numpy
 
-    class Args:  # train_vdp_gpode.py:26-68 defaults (solver via the rk4 stub)
+    class Args:  # train_vdp_gpode[_shooting].py defaults (rk4 stub solver)
         num_features = 256
         num_inducing = 16
         dimwise = True
@@ -61,6 +70,11 @@ def run_reference(num_iter: int, seed: int = 121):
         ts_dense_scale = 2
         use_adjoint = False
         eval_sample_size = 128
+        # shooting extras (train_vdp_gpode_shooting.py:41-46,67-68)
+        constraint_type = "gauss"
+        constraint_trainable = False
+        constraint_initial_scale = 1e-3
+        num_samples = 5
 
     seed_everything(seed)
     data = VanderPol(S_train=25, T_train=7.0, S_test=50,
@@ -75,13 +89,14 @@ def run_reference(num_iter: int, seed: int = 121):
     model = initialize_inducing(model, data.trn.ys, data.trn.ts.max())
     model = initialize_latents_with_data(model, data.trn.ys, data.trn.ts)
 
+    loss_kwargs = dict(num_samples=Args.num_samples) if shooting else {}
     optimizer = torch.optim.Adam(model.parameters(), lr=5e-3)
     t0 = time.time()
     losses = []
     for itr in range(1, num_iter + 1):
         model.train()
         optimizer.zero_grad()
-        loss, *_ = compute_loss(model, train_ys, train_ts)
+        loss, *_ = compute_loss(model, train_ys, train_ts, **loss_kwargs)
         loss.backward()
         optimizer.step()
         losses.append(float(loss))
@@ -104,7 +119,7 @@ def run_reference(num_iter: int, seed: int = 121):
                 train_seconds=train_time, ms_per_iter=train_time / num_iter * 1e3)
 
 
-def run_ours(num_iter: int, seed: int = 121):
+def run_ours(num_iter: int, seed: int = 121, shooting: bool = False):
     from gpode_tpu.models.gp import set_rff_reference_scale
     from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
 
@@ -115,7 +130,7 @@ def run_ours(num_iter: int, seed: int = 121):
                               save="/tmp/parity_vdp_ours",
                               checkpoint_every=0)
         t0 = time.time()
-        params, trainer, metrics = run_vdp(args, shooting_variant=False)
+        params, trainer, metrics = run_vdp(args, shooting_variant=shooting)
         metrics = dict(metrics)
         metrics["train_seconds"] = time.time() - t0
         metrics["loss_first"] = trainer.loss_meter.vals[0]
@@ -129,18 +144,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_iter", type=int, default=2500)
     ap.add_argument("--out", type=str, default="/tmp/parity_vdp.json")
+    ap.add_argument("--shooting", action="store_true",
+                    help="the multiple-shooting variant at its script defaults")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--skip_ref", action="store_true")
     a = ap.parse_args()
 
-    out = {"num_iter": a.num_iter}
+    out = {"num_iter": a.num_iter, "shooting": a.shooting}
     if not a.skip_ref:
         print("=== reference (torch CPU, rk4 grid) ===", flush=True)
-        out["reference"] = run_reference(a.num_iter)
+        out["reference"] = run_reference(a.num_iter, shooting=a.shooting)
         print(json.dumps(out["reference"], indent=2), flush=True)
     if not a.skip_ours:
         print("=== gpode_tpu (matched config) ===", flush=True)
-        out["ours"] = run_ours(a.num_iter)
+        out["ours"] = run_ours(a.num_iter, shooting=a.shooting)
         print(json.dumps(out["ours"], indent=2), flush=True)
     with open(a.out, "w") as f:
         json.dump(out, f, indent=2)

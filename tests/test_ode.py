@@ -184,3 +184,41 @@ def test_final_time_is_exact_rk_step_not_interpolation():
                                 max_steps=64)
     np.testing.assert_allclose(np.asarray(xs_loose[-1]),
                                np.asarray(xs_tight[-1]), rtol=0, atol=5e-6)
+
+
+def test_first_step_span_matches_heuristic_solution():
+    """`first_step=FIRST_STEP_SPAN` skips the init heuristic (one fewer rhs
+    eval) and still lands within tolerance of the default solve — the
+    shooting-segment fast path."""
+    from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+    f = _vdp()
+    ts = jnp.asarray([0.0, 0.01], dtype=jnp.float32)   # one shooting interval
+    x0 = jnp.asarray([[-1.5, 2.5], [0.3, -0.7]], dtype=jnp.float32)
+    xs_d, st_d = odeint_dopri5(f, x0, ts, rtol=1e-6, atol=1e-6, max_steps=8)
+    xs_s, st_s = odeint_dopri5(f, x0, ts, rtol=1e-6, atol=1e-6, max_steps=8,
+                               first_step=FIRST_STEP_SPAN)
+    np.testing.assert_allclose(np.asarray(xs_s), np.asarray(xs_d),
+                               rtol=1e-6, atol=1e-7)
+    assert int(st_s.num_rhs_evals) < int(st_d.num_rhs_evals)
+    assert int(st_s.num_covered) == 2
+    # an explicit numeric first_step dispatches through odeint too
+    xs_e, _ = odeint(f, x0, ts, solver="dopri5", rtol=1e-6, atol=1e-6,
+                     max_steps=8, first_step=0.01)
+    np.testing.assert_allclose(np.asarray(xs_e), np.asarray(xs_d),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_first_step_still_adapts_when_too_coarse():
+    """A huge first_step gets rejected and shrunk by the controller; the
+    solution still meets tolerance on a long horizon."""
+    from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+    ts_np = np.linspace(0, 7.0, 25)
+    want = scipy_odeint(_vdp_np, [-1.5, 2.5], ts_np, rtol=1e-10, atol=1e-10)
+    xs, stats = odeint_dopri5(_vdp(),
+                              jnp.asarray([[-1.5, 2.5]], dtype=jnp.float32),
+                              jnp.asarray(ts_np, dtype=jnp.float32),
+                              rtol=1e-6, atol=1e-6, max_steps=256,
+                              first_step=FIRST_STEP_SPAN)
+    np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=5e-3)
+    assert int(stats.num_accepted) < int(stats.num_attempted)  # rejections
+    assert int(stats.num_covered) == 25
