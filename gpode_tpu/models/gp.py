@@ -196,8 +196,13 @@ def draw_posterior(key: jax.Array, params: SVGPParams, num_features: int,
     return PosteriorDraw(omega=omega, phase=phase, weights=weights, nu=nu)
 
 
-# Pallas fast path for the dimwise rhs; toggled globally (trace-time static).
-_USE_PALLAS_RHS = False
+# Pallas fast path for the dimwise rhs; trace-time static. None = auto: use
+# the fused kernel on TPU when the batch fills at least one tile (large
+# flattened shooting-segment batches win ~3x end-to-end from the fused
+# forward+backward; tiny vanilla-ODE batches stay on the XLA path, whose
+# fusions beat kernel-launch overhead at a handful of rows).
+_USE_PALLAS_RHS: bool | None = None
+_PALLAS_RHS_MIN_ROWS = 256
 
 # RFF scale compatibility: canonical sqrt(2 var / S) by default; the reference
 # uses sqrt(var / S) (prior sample variance var/2, `dsvgp.py:136`). Toggle to
@@ -212,12 +217,15 @@ def set_rff_reference_scale(enabled: bool):
     _RFF_SCALE_FACTOR = 1.0 if enabled else 2.0
 
 
-def set_pallas_rhs(enabled: bool):
+def set_pallas_rhs(enabled: bool | None):
     """Route dimwise `eval_draw` through the fused Pallas kernel (TPU only).
 
     The kernel keeps the (N,S) feature and (N,M) Gram tiles in VMEM instead
-    of round-tripping them through HBM; backward recomputes via the XLA path
-    (see `gpode_tpu.ops.pallas_kernels.fused_rhs`).
+    of round-tripping them through HBM, in both directions (fused custom-VJP
+    backward; see `gpode_tpu.ops.pallas_kernels.fused_rhs`).
+
+    True forces the kernel for every dimwise eval, False forces the XLA path,
+    None (the default) picks per call site by batch size at trace time.
     """
     global _USE_PALLAS_RHS
     _USE_PALLAS_RHS = enabled
@@ -230,7 +238,9 @@ def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array) -> jax.Arra
     pathwise update nu^T K(Z, x). Deterministic given the draw, so an entire
     ODE solve traces into one XLA program.
     """
-    if _USE_PALLAS_RHS and params.dimwise and jax.default_backend() == "tpu":
+    use_pallas = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
+                  else x.shape[0] >= _PALLAS_RHS_MIN_ROWS)
+    if use_pallas and params.dimwise and jax.default_backend() == "tpu":
         from gpode_tpu.ops.pallas_kernels import fused_rhs
         return fused_rhs(x, params.z, params.kernel.lengthscales,
                          params.kernel.variance, draw.omega, draw.phase,

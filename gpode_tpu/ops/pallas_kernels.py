@@ -38,6 +38,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE_N = 512
 
+# Scoped-VMEM budget for auto tile sizing (the hardware limit is 16 MiB; the
+# estimates below run ~1.4x the compiler's actual stack allocation, so a
+# 16 MiB estimate budget lands ~11 MiB actual with headroom).
+_VMEM_BUDGET_BYTES = 16 << 20
+
+
+def _auto_tile(requested: int, n: int, est_floats_per_row: int) -> int:
+    """Largest power-of-two tile whose estimated VMEM stack fits the budget.
+
+    `est_floats_per_row`: per-tile-row f32 temporaries the kernel holds live
+    (the Mosaic unroll over the D output dims does not share buffers, so the
+    count scales with D). Calibrated against compiler failures: the scale
+    config's backward (D=5, S=256, M=256) allocated 17.03 MiB at tile 512."""
+    tile = min(requested, max(8, n))
+    while tile > 8 and est_floats_per_row * tile * 4 > _VMEM_BUDGET_BYTES:
+        tile //= 2
+    return max(tile, 8)
+
 
 def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
     n = x.shape[0]
@@ -86,7 +104,7 @@ def rbf_gram_pallas(x: jax.Array, z: jax.Array, lengthscales: jax.Array,
     n, din = x.shape
     m = z.shape[0]
     d = lengthscales.shape[0]
-    tile_n = min(tile_n, max(8, n))
+    tile_n = _auto_tile(tile_n, n, d * 2 * m)  # sqdist acc + exp epilogue
     x_p = _pad_rows(x, tile_n)
     n_pad = x_p.shape[0]
     inv_ls = (1.0 / lengthscales).astype(jnp.float32)          # (D, Din)
@@ -149,7 +167,7 @@ def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    tile_n = min(tile_n, max(8, n))
+    tile_n = _auto_tile(tile_n, n, d * (3 * s + 2 * m))  # xo/phi/dphi + gram temps
     x_p = _pad_rows(x, tile_n)
     n_pad = x_p.shape[0]
 
@@ -302,7 +320,7 @@ def _fused_rhs_bwd_pallas(x, z, lengthscales, variance, omega, phase, weights,
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    tile_n = min(tile_n, max(8, n))
+    tile_n = _auto_tile(tile_n, n, d * (4 * s + 5 * m))  # xo/cos/dphi/dxo + gram chains
     x_p = _pad_rows(x, tile_n)
     g_p = _pad_rows(g.astype(jnp.float32), tile_n)  # zero rows -> zero cotangents
     n_pad = x_p.shape[0]

@@ -58,8 +58,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lr_schedule", type=str, default="constant",
                    choices=("constant", "cosine"),
                    help="Learning-rate schedule (cosine decays to lr/100)")
-    p.add_argument("--pallas_rhs", type=_str2bool, default=False,
-                   help="Fused Pallas kernel for the ODE right-hand side")
+    p.add_argument("--pallas_rhs", type=str, default="auto",
+                   choices=("auto", "true", "false"),
+                   help="Fused Pallas rhs kernel: auto (by batch size), "
+                        "true (force), false (XLA path)")
     p.add_argument("--eval_sample_size", type=int, default=128,
                    help="Posterior samples for predictive evaluation")
     p.add_argument("--save", type=str, default="results/run",
@@ -108,9 +110,10 @@ def add_shooting_flags(p: argparse.ArgumentParser):
 
 
 def to_experiment_args(ns: argparse.Namespace) -> ExperimentArgs:
-    if getattr(ns, "pallas_rhs", False):
+    choice = getattr(ns, "pallas_rhs", "auto")
+    if choice != "auto":
         from gpode_tpu.models.gp import set_pallas_rhs
-        set_pallas_rhs(True)
+        set_pallas_rhs(choice == "true")
     args = ExperimentArgs()
     for field in vars(args):
         if hasattr(ns, field):
