@@ -146,18 +146,20 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/parity_vdp.json")
     ap.add_argument("--shooting", action="store_true",
                     help="the multiple-shooting variant at its script defaults")
+    ap.add_argument("--seed", type=int, default=121)
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--skip_ref", action="store_true")
     a = ap.parse_args()
 
-    out = {"num_iter": a.num_iter, "shooting": a.shooting}
+    out = {"num_iter": a.num_iter, "shooting": a.shooting, "seed": a.seed}
     if not a.skip_ref:
         print("=== reference (torch CPU, rk4 grid) ===", flush=True)
-        out["reference"] = run_reference(a.num_iter, shooting=a.shooting)
+        out["reference"] = run_reference(a.num_iter, seed=a.seed,
+                                         shooting=a.shooting)
         print(json.dumps(out["reference"], indent=2), flush=True)
     if not a.skip_ours:
         print("=== gpode_tpu (matched config) ===", flush=True)
-        out["ours"] = run_ours(a.num_iter, shooting=a.shooting)
+        out["ours"] = run_ours(a.num_iter, seed=a.seed, shooting=a.shooting)
         print(json.dumps(out["ours"], indent=2), flush=True)
     with open(a.out, "w") as f:
         json.dump(out, f, indent=2)
