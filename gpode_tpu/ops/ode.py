@@ -65,6 +65,17 @@ def _rms(x: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.mean(jnp.square(x)))
 
 
+def max_rms_over_axis0(r: jax.Array) -> jax.Array:
+    """Error norm for a batch of independent solves stacked on axis 0.
+
+    torchdiffeq's `norm` option, specialised for the batched-draw eval path
+    (`models/gpode.predict`): per-member RMS, reduced by max, so shared step
+    control is at least as strict as each member's own controller would be
+    (a plain global RMS would dilute one stiff member's error by sqrt(S))."""
+    return jnp.max(jnp.sqrt(jnp.mean(
+        jnp.square(r.reshape(r.shape[0], -1)), axis=1)))
+
+
 # ---------------------------------------------------------------------------
 # Fixed-step solvers
 # ---------------------------------------------------------------------------
@@ -251,15 +262,15 @@ def _dopri5_step(f, t, x, dt, k1):
     return x5, err, ks[6]
 
 
-def _initial_step(f, t0, x0, f0, direction, rtol, atol):
+def _initial_step(f, t0, x0, f0, direction, rtol, atol, norm=_rms):
     """Hairer's initial step-size heuristic (torchdiffeq `_select_initial_step`)."""
     scale = atol + jnp.abs(x0) * rtol
-    d0 = _rms(x0 / scale)
-    d1 = _rms(f0 / scale)
+    d0 = norm(x0 / scale)
+    d1 = norm(f0 / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     x1 = x0 + direction * h0 * f0
     f1 = f(t0 + direction * h0, x1)
-    d2 = _rms((f1 - f0) / scale) / h0
+    d2 = norm((f1 - f0) / scale) / h0
     h1 = jnp.where(jnp.maximum(d1, d2) <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),
                    (0.01 / jnp.maximum(d1, d2)) ** (1.0 / _ORDER))
@@ -280,8 +291,14 @@ def _hermite(t, t0, t1, x0, f0, x1, f1):
 
 def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
                   rtol: float = 1e-6, atol: float = 1e-6,
-                  max_steps: int = 256, first_step: float | None = None):
+                  max_steps: int = 256, first_step: float | None = None,
+                  norm: Callable[[jax.Array], jax.Array] = _rms):
     """Adaptive Dormand-Prince 5(4) with dense output at `ts`.
+
+    `norm` maps the scaled error estimate err/scale to the scalar the
+    accept/reject rule compares against 1 (torchdiffeq's `norm` option;
+    default RMS over all state entries). Use :func:`max_rms_over_axis0` when
+    the state stacks independent solves on axis 0.
 
     `first_step` (torchdiffeq's option of the same name) skips Hairer's
     initial-step heuristic — and its extra rhs evaluation — when the caller
@@ -319,7 +336,7 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
     f0 = f_tau(0.0, x0)
     if first_step is None:
         dt0 = jax.lax.stop_gradient(
-            _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol))
+            _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol, norm))
         nfe0 = 2  # f0 + the heuristic's probe evaluation
     else:
         dt0 = (tau_final if first_step == FIRST_STEP_SPAN
@@ -335,9 +352,9 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
     # Broadcast helpers: state may be any rank; masks enter at axis 0 of obs.
     obs_shape = (num_t,) + (1,) * x0.ndim
 
-    def body(carry, _):
+    def attempt(carry):
+        """One real step attempt; only runs while tau < tau_final."""
         tau, x, k1, dt, out, covered, nfe, nacc, natt = carry
-        done = tau >= tau_final
 
         # Never overshoot the trajectory end: the final output then comes
         # from an actual RK step instead of dense-output interpolation.
@@ -346,59 +363,51 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         # overshooting step carries an O(dt_step^4) bias that systematically
         # skews the learned field (~0.3 nats test LL on MoCap shooting)
         # even though it is invisible in per-step gradient direction.
-        # (When done, keep dt > 0 so the masked Hermite stays finite — a 0/0
-        # inside jnp.where still poisons gradients.)
-        remaining = tau_final - tau
-        dt_step = jnp.where(done, dt, jnp.minimum(dt, remaining))
+        remaining = tau_final - tau                    # > 0 in this branch
+        dt_step = jnp.minimum(dt, remaining)
 
-        # Real branch skip: once the trajectory is covered, the remaining
-        # budget iterations cost one select, not 6 rhs evaluations. (Under
-        # vmap, cond lowers to select and both branches run — acceptable on
-        # the forward-only eval paths that vmap whole solves.)
-        x_new, err, k7 = jax.lax.cond(
-            done,
-            lambda: (x, jnp.zeros_like(x), k1),
-            lambda: _dopri5_step(f_tau, tau, x, dt_step, k1))
+        x_new, err, k7 = _dopri5_step(f_tau, tau, x, dt_step, k1)
         scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
         # The controller's decisions (accept/reject, next dt) are treated as
         # non-differentiable: gradients flow only through solution values.
-        # This also kills the NaN cobweb from err^(-1/5) at err == 0 (the
-        # masked no-op branch) leaking through `where` gradients.
-        err_ratio = jax.lax.stop_gradient(_rms(err / scale))
+        # This also kills the NaN cobweb from err^(-1/5) at err == 0
+        # leaking through `where` gradients.
+        err_ratio = jax.lax.stop_gradient(norm(err / scale))
         accept = err_ratio <= 1.0
 
         # torchdiffeq `_optimal_step_size`: never shrink an accepted step.
         factor = _SAFETY * (err_ratio + 1e-30) ** (-1.0 / _ORDER)
         factor = jnp.where(accept, jnp.maximum(factor, 1.0), factor)
         factor = jnp.clip(factor, _DFACTOR, _IFACTOR)
-        dt_next = jax.lax.stop_gradient(
-            jnp.where(done, dt, dt_step * factor))
+        dt_next = jax.lax.stop_gradient(dt_step * factor)
 
-        step_taken = accept & ~done
         # the clamped final step lands on tau_final EXACTLY (f32 tau +
         # (tau_final - tau) can fall one ulp short, which would leave the
-        # endpoint to a degenerate extra step); in the masked done case keep
-        # tau_end > tau so the (discarded) Hermite denominator stays nonzero
-        tau_end = jnp.where(done, tau + dt_step,
-                            jnp.where(dt_step >= remaining,
-                                      tau_final, tau + dt_step))
-        tau_next = jnp.where(step_taken, tau_end, tau)
-        x_next = jnp.where(step_taken, x_new, x)
-        k1_next = jnp.where(step_taken, k7, k1)
+        # endpoint to a degenerate extra step)
+        tau_end = jnp.where(dt_step >= remaining, tau_final, tau + dt_step)
+        tau_next = jnp.where(accept, tau_end, tau)
+        x_next = jnp.where(accept, x_new, x)
+        k1_next = jnp.where(accept, k7, k1)
 
         # Dense output: emit every observation time inside the accepted step.
         # The step end itself evaluates exactly to x_new (Hermite at s=1).
-        newly = step_taken & ~covered & (taus <= tau_end)
+        newly = accept & ~covered & (taus <= tau_end)
         interp = _hermite(taus.reshape(obs_shape), tau, tau_end,
                           x[None], k1[None], x_new[None], k7[None])
         out_next = jnp.where(newly.reshape(obs_shape), interp, out)
         covered_next = covered | newly
 
-        nfe_next = nfe + jnp.where(done, 0, 5)
-        nacc_next = nacc + jnp.where(step_taken, 1, 0)
-        natt_next = natt + jnp.where(done, 0, 1)
         return (tau_next, x_next, k1_next, dt_next, out_next, covered_next,
-                nfe_next, nacc_next, natt_next), None
+                nfe + 5, nacc + jnp.where(accept, 1, 0), natt + 1)
+
+    def body(carry, _):
+        # Whole-body branch skip: once the trajectory is covered, each
+        # remaining budget iteration is a pure carry passthrough — no rhs
+        # stages, no controller math, no Hermite/output selects. (Under
+        # vmap, cond lowers to select and both branches run; the batched-draw
+        # eval path exists precisely to avoid vmapping whole solves.)
+        done = carry[0] >= tau_final
+        return jax.lax.cond(done, lambda c: c, attempt, carry), None
 
     init = (jnp.zeros_like(tau_final), x0, f0, dt0, out0, covered0,
             jnp.asarray(nfe0), jnp.asarray(0), jnp.asarray(0))
@@ -419,11 +428,13 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
 
 def odeint(f: Callable, x0: jax.Array, ts: jax.Array, *, solver: str = "dopri5",
            rtol: float = 1e-6, atol: float = 1e-6, substeps: int = 1,
-           max_steps: int = 256, first_step: float | None = None):
+           max_steps: int = 256, first_step: float | None = None,
+           norm: Callable[[jax.Array], jax.Array] = _rms):
     """Uniform entry point over all solvers; see `odeint_fixed`/`odeint_dopri5`."""
     if solver == "dopri5":
         return odeint_dopri5(f, x0, ts, rtol=rtol, atol=atol,
-                             max_steps=max_steps, first_step=first_step)
+                             max_steps=max_steps, first_step=first_step,
+                             norm=norm)
     if solver in ("explicit_adams", "fixed_adams"):
         return odeint_adams(f, x0, ts, substeps=max(substeps, 4))
     if solver in ("adams", "implicit_adams"):

@@ -64,23 +64,30 @@ def make_sharded_predict(mesh: Mesh, cfg, num_features: int,
     """Posterior-predictive sampling with the draw axis sharded over the mesh.
 
     The reference evaluates 128 posterior draws in a serial Python loop
-    (`gpode/model_builder.py:60-78`); here the draws vmap AND shard across
-    every device: each chip integrates its slice of the function draws.
+    (`gpode/model_builder.py:60-78`); here the draws stack into ONE batched
+    solve (`flow_forward_batched`: real budget-skip branch, shared
+    max-over-draw-RMS step control — the max reduction becomes an XLA
+    all-reduce over the mesh) whose draw axis shards across every device.
     Returns predict(key, gp_params, x0_post, ts) -> (S, N, T, D).
     """
+    import jax.numpy as jnp
+
+    from gpode_tpu.models import gp as gp_mod
+    from gpode_tpu.models.flow import flow_forward_batched
+
     axis = mesh.axis_names[0]
     draw_sharding = NamedSharding(mesh, P(axis))
 
     @partial(jax.jit, out_shardings=draw_sharding)
     def predict(key, vparams, ts, x0):
-        def one(k):
-            from gpode_tpu.models.flow import flow_forward_sampled
-            xs, _ = flow_forward_sampled(k, vparams.gp, x0, ts, cfg,
-                                         num_features)
-            return xs
-
         keys = jax.lax.with_sharding_constraint(
             jax.random.split(key, num_draws), draw_sharding)
-        return jax.vmap(one)(keys)
+        chol = gp_mod.precompute_chol(vparams.gp)
+        draws = jax.vmap(
+            lambda k: gp_mod.draw_posterior(k, vparams.gp, num_features,
+                                            chol))(keys)
+        starts = jnp.broadcast_to(x0, (num_draws,) + x0.shape)
+        xs, _ = flow_forward_batched(vparams.gp, draws, starts, ts, cfg)
+        return xs
 
     return predict

@@ -1,0 +1,100 @@
+"""The batched-draw posterior-predictive path (`flow_forward_batched`).
+
+`gpode.predict` stacks all S draws into one solver state instead of vmapping
+S whole solves (under vmap the budget-skip cond lowers to select and every
+budget iteration pays full dopri5 stage work). These tests pin (a) agreement
+with the per-draw vmapped solves given identical key derivations, and (b)
+that the shared max-over-draw-RMS error norm keeps per-draw accuracy at
+single-solve levels even when one member of the batch is much stiffer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpode_tpu.models import gp, gpode
+from gpode_tpu.models.flow import SolverConfig, flow_forward_sampled
+from gpode_tpu.models.init import (initialize_inducing,
+                                   initialize_kernel_parameters)
+from gpode_tpu.models.states import sample_initial_state
+from gpode_tpu.ops.ode import max_rms_over_axis0, odeint_dopri5
+from gpode_tpu.train.builders import ModelArgs, build_gpode
+from gpode_tpu.utils.time_grids import insert_zero_t0
+
+
+def _small_model():
+    rng = np.random.RandomState(0)
+    ys = np.stack([np.stack([np.cos(t := np.linspace(0, 3, 12)),
+                             np.sin(t)], -1)
+                   for _ in range(2)]) + 0.01 * rng.randn(2, 12, 2)
+    args = ModelArgs(num_inducing=8, num_features=32, dimwise=True,
+                     solver="dopri5")
+    params = build_gpode(jax.random.PRNGKey(5), args, ys)
+    params = params._replace(gp=initialize_kernel_parameters(params.gp))
+    params = params._replace(gp=initialize_inducing(
+        params.gp, ys, 3.0, 1e0, rng=np.random.RandomState(5)))
+    return params, jnp.linspace(0.0, 3.0, 12)
+
+
+def test_batched_predict_matches_per_draw_vmap():
+    params, ts = _small_model()
+    cfg = SolverConfig(solver="dopri5", max_steps=256)
+    key = jax.random.PRNGKey(7)
+    num_draws = 6
+
+    batched = gpode.predict(key, params, ts, cfg, 32, num_draws=num_draws)
+
+    # the pre-batching implementation: one vmapped whole solve per draw,
+    # same key derivation as predict
+    chol = gp.precompute_chol(params.gp)
+
+    def one(k):
+        k_draw, k_x0 = jax.random.split(k)
+        start = sample_initial_state(k_x0, params.x0, 1)[0]
+        xs, _ = flow_forward_sampled(k_draw, params.gp, start,
+                                     insert_zero_t0(ts), cfg, 32, chol)
+        return xs[:, 1:]
+
+    per_draw = jax.vmap(one)(jax.random.split(key, num_draws))
+
+    assert batched.shape == per_draw.shape == (num_draws, 2, 12, 2)
+    # identical draws and x0 samples; only step-size control differs
+    # (shared, conservative), so trajectories agree to solver tolerance.
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(per_draw),
+                               atol=2e-3)
+
+
+def test_batched_predict_fixed_x0():
+    params, ts = _small_model()
+    cfg = SolverConfig(solver="dopri5", max_steps=256)
+    x0 = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    out = gpode.predict(jax.random.PRNGKey(3), params, ts, cfg, 32,
+                        num_draws=4, x0=x0)
+    assert out.shape == (4, 2, 12, 2)
+    # all draws share the given x0 exactly at t=0
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.broadcast_to(np.asarray(x0), (4, 2, 2)),
+                               atol=1e-5)
+
+
+def test_max_rms_norm_keeps_stiff_member_accurate():
+    # batch of two independent exponentials, one 50x faster: shared control
+    # with max-RMS norm must resolve the stiff member as accurately as
+    # solving it alone would.
+    rates = jnp.array([1.0, 50.0])
+
+    def f(t, x):  # x: (2, 1)
+        return -rates[:, None] * x
+
+    x0 = jnp.ones((2, 1))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-6, atol=1e-8, max_steps=512,
+                              norm=max_rms_over_axis0)
+    expected = jnp.exp(-rates[None, :, None] * ts[:, None, None])
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(expected),
+                               atol=1e-5)
+    assert int(stats.num_covered) == 5
+
+    # sanity on the norm itself: max of per-member RMS, not a global RMS
+    r = jnp.stack([jnp.zeros((3,)), 2.0 * jnp.ones((3,))])
+    np.testing.assert_allclose(float(max_rms_over_axis0(r)), 2.0, rtol=1e-6)
