@@ -76,9 +76,14 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         zero = jnp.zeros((), dtype=jnp.int32)
         return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero, zero)
 
+    # the implicit BDF solver differentiates its Newton vjp a second time in
+    # the training backward; the Pallas custom_vjp has no rule for that, so
+    # BDF pins the rhs to the XLA path.
+    use_pallas = False if cfg.solver == "bdf" else None
+
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)
-        return gp.eval_draw(gp_params, draw, x)
+        return gp.eval_draw(gp_params, draw, x, use_pallas)
 
     if cfg.remat:
         rhs = jax.checkpoint(rhs)
@@ -111,10 +116,13 @@ def flow_forward_batched(gp_params: gp.SVGPParams, draws: gp.PosteriorDraw,
     """
     from gpode_tpu.ops.ode import max_rms_over_axis0
 
+    use_pallas = False if cfg.solver == "bdf" else None
+
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)
-        return jax.vmap(lambda dr, xi: gp.eval_draw(gp_params, dr, xi))(
-            draws, x)
+        return jax.vmap(
+            lambda dr, xi: gp.eval_draw(gp_params, dr, xi, use_pallas))(
+                draws, x)
 
     xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
                        atol=cfg.atol, substeps=cfg.substeps,

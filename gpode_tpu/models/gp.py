@@ -231,15 +231,22 @@ def set_pallas_rhs(enabled: bool | None):
     _USE_PALLAS_RHS = enabled
 
 
-def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array) -> jax.Array:
+def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
+              use_pallas: bool | None = None) -> jax.Array:
     """Evaluate the sampled vector field f(x): (N, Din) -> (N, D).
 
     The hot ODE right-hand side (`dsvgp.py:172-197`): RFF prior eval plus the
     pathwise update nu^T K(Z, x). Deterministic given the draw, so an entire
     ODE solve traces into one XLA program.
+
+    use_pallas overrides the global/auto kernel choice for this call site
+    (needed where the caller requires ops the Pallas custom_vjp cannot
+    provide, e.g. second-order differentiation through the implicit BDF
+    solver's Newton iterations).
     """
-    use_pallas = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
-                  else x.shape[0] >= _PALLAS_RHS_MIN_ROWS)
+    if use_pallas is None:
+        use_pallas = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
+                      else x.shape[0] >= _PALLAS_RHS_MIN_ROWS)
     if use_pallas and params.dimwise and jax.default_backend() == "tpu":
         from gpode_tpu.ops.pallas_kernels import fused_rhs
         return fused_rhs(x, params.z, params.kernel.lengthscales,

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 SOLVERS = ("dopri5", "rk4", "midpoint", "euler", "explicit_adams",
-           "fixed_adams", "adams", "implicit_adams")
+           "fixed_adams", "adams", "implicit_adams", "bdf")
 
 _SAFETY = 0.9
 _IFACTOR = 10.0
@@ -182,6 +182,83 @@ def odeint_adams_moulton(f: Callable, x0: jax.Array, ts: jax.Array, *,
     per_interval = (5 * min(3, substeps)
                     + max(0, substeps - 3) * (1 + corrector_iters))
     total = (ts.shape[0] - 1) * per_interval
+    steps = jnp.asarray((ts.shape[0] - 1) * substeps)
+    stats = ODEStats(num_rhs_evals=jnp.asarray(total), num_accepted=steps,
+                     num_attempted=steps,
+                     num_covered=jnp.asarray(ts.shape[0]))
+    return xs, stats
+
+
+def _newton_implicit_step(f, t_new, y_guess, rhs_const, gamma_h, newton_iters):
+    """Solve y = rhs_const + gamma_h * f(t_new, y) by full Newton.
+
+    State is (..., D) with independent batch rows (our GP field applies
+    rowwise), so the Jacobian of f is block-diagonal: built row-by-row with
+    one `jax.vjp` and D pullback calls (D is the small latent dimension —
+    reverse mode, so the Pallas rhs's custom_vjp works; forward-mode jvp
+    would not). The (..., D, D) Newton systems then solve batched —
+    MXU-friendly, no host control flow. Gradients flow through the unrolled
+    iterations.
+    """
+    d = y_guess.shape[-1]
+    eye = jnp.eye(d, dtype=y_guess.dtype)
+
+    y = y_guess
+    for _ in range(newton_iters):
+        fy, pullback = jax.vjp(lambda yy: f(t_new, yy), y)
+        # block-diagonal Jacobian of f at y: cotangent e_i recovers row i of
+        # every row-block simultaneously
+        rows = [pullback(jnp.broadcast_to(eye[i], y.shape))[0]
+                for i in range(d)]
+        jac = jnp.stack(rows, axis=-2)                  # (..., D, D)
+        g = y - gamma_h * fy - rhs_const                # residual
+        a = eye - gamma_h * jac                         # Newton matrix
+        y = y - jnp.linalg.solve(a, g[..., None])[..., 0]
+    return y
+
+
+def odeint_bdf(f: Callable, x0: jax.Array, ts: jax.Array, *,
+               substeps: int = 4, newton_iters: int = 3):
+    """Fixed-step BDF2 with batched Newton solves (A-stable; stiff fields).
+
+    The reference whitelists 'bdf' (`train_vdp_gpode.py:26`) but torchdiffeq
+    0.2.0 ships no BDF method — selecting it crashes. This is a real one:
+    per observation interval, `substeps` uniform steps; the first sub-step is
+    BDF1 (backward Euler, also A-stable), the rest BDF2
+        y_{n+1} = (4 y_n - y_{n-1})/3 + (2h/3) f(y_{n+1}),
+    each implicit equation resolved by `newton_iters` full Newton iterations
+    with exact block-diagonal Jacobians from forward-mode AD (see
+    `_newton_implicit_step`). Everything is a static unroll inside one
+    `lax.scan` over intervals; reverse-mode differentiable end to end.
+    """
+    def interval(carry, t_pair):
+        x, _ = carry
+        t0, t1 = t_pair
+        h = (t1 - t0) / substeps
+        t = t0
+        x_prev = x  # y_{n-1} for BDF2; seeded by the BDF1 step
+        for i in range(substeps):
+            if i == 0:
+                # BDF1 / backward Euler, predictor = explicit Euler
+                guess = x + h * f(t, x)
+                x_new = _newton_implicit_step(f, t + h, guess, x, h,
+                                              newton_iters)
+            else:
+                guess = 2.0 * x - x_prev  # linear extrapolation predictor
+                rhs_const = (4.0 * x - x_prev) / 3.0
+                x_new = _newton_implicit_step(f, t + h, guess, rhs_const,
+                                              2.0 * h / 3.0, newton_iters)
+            x_prev, x = x, x_new
+            t = t + h
+        return (x, x_prev), x
+
+    (_, _), xs = jax.lax.scan(interval, (x0, x0), (ts[:-1], ts[1:]))
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    d = x0.shape[-1]
+    # per implicit sub-step: predictor eval (first only) + newton_iters * (1
+    # residual eval + D jvp columns); jvp costs ~2 evals
+    per_step = newton_iters * (1 + 2 * d)
+    total = (ts.shape[0] - 1) * (substeps * per_step + 1)
     steps = jnp.asarray((ts.shape[0] - 1) * substeps)
     stats = ODEStats(num_rhs_evals=jnp.asarray(total), num_accepted=steps,
                      num_attempted=steps,
@@ -440,9 +517,5 @@ def odeint(f: Callable, x0: jax.Array, ts: jax.Array, *, solver: str = "dopri5",
     if solver in ("adams", "implicit_adams"):
         return odeint_adams_moulton(f, x0, ts, substeps=max(substeps, 4))
     if solver == "bdf":
-        raise NotImplementedError(
-            "'bdf' is phantom in the reference too: its CLI whitelists it "
-            "(train_vdp_gpode.py:26) but torchdiffeq 0.2.0 has no BDF method "
-            "— selecting it crashes inside torchdiffeq. Use dopri5 (tight "
-            "tolerances) or 'adams' (implicit Adams-Moulton PECE) instead")
+        return odeint_bdf(f, x0, ts, substeps=max(substeps, 2))
     return odeint_fixed(f, x0, ts, solver=solver, substeps=substeps)

@@ -24,7 +24,7 @@ from gpode_tpu.models.likelihoods import (GaussianLikelihood,
 from gpode_tpu.models.states import init_initial_state, init_shooting_states
 
 SOLVERS = ("dopri5", "rk4", "midpoint", "euler", "explicit_adams",
-           "fixed_adams", "adams", "implicit_adams")
+           "fixed_adams", "adams", "implicit_adams", "bdf")
 CONSTRAINTS = ("gauss", "laplace")
 
 
