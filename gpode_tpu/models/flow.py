@@ -76,6 +76,26 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         zero = jnp.zeros((), dtype=jnp.int32)
         return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero, zero)
 
+    # RK4 one-interval segments (the shooting hot path) with a Pallas-active
+    # batch take the segment megakernel: all 4*substeps stage evaluations and
+    # RK combines in ONE kernel, state tile VMEM-resident throughout, with a
+    # fused in-kernel reverse sweep for the backward (inherently
+    # rematerialized — only x0 and the draw are saved).
+    if (cfg.solver == "rk4" and ts.shape[0] == 2
+            and gp.pallas_rhs_active(gp_params, x0.shape[0])):
+        from gpode_tpu.ops.pallas_kernels import fused_rk4_segment
+        dt = jax.lax.stop_gradient(ts[1] - ts[0])
+        x1 = fused_rk4_segment(x0, dt, gp_params.z,
+                               gp_params.kernel.lengthscales,
+                               gp_params.kernel.variance, draw.omega,
+                               draw.phase, draw.weights, draw.nu,
+                               cfg.substeps)
+        steps = jnp.asarray(cfg.substeps)
+        stats = ODEStats(num_rhs_evals=jnp.asarray(4 * cfg.substeps),
+                         num_accepted=steps, num_attempted=steps,
+                         num_covered=jnp.asarray(2))
+        return jnp.stack([x0, x1], axis=1), stats
+
     # the implicit BDF solver differentiates its Newton vjp a second time in
     # the training backward; the Pallas custom_vjp has no rule for that, so
     # BDF pins the rhs to the XLA path.

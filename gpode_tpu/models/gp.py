@@ -231,6 +231,14 @@ def set_pallas_rhs(enabled: bool | None):
     _USE_PALLAS_RHS = enabled
 
 
+def pallas_rhs_active(params: SVGPParams, n_rows: int) -> bool:
+    """Trace-time decision: would `eval_draw` take the fused Pallas kernel at
+    this batch size? (Shared by the rk4 segment megakernel gate.)"""
+    use = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
+           else n_rows >= _PALLAS_RHS_MIN_ROWS)
+    return bool(use) and params.dimwise and jax.default_backend() == "tpu"
+
+
 def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
               use_pallas: bool | None = None) -> jax.Array:
     """Evaluate the sampled vector field f(x): (N, Din) -> (N, D).

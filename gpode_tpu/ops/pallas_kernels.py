@@ -132,16 +132,14 @@ def rbf_gram_pallas(x: jax.Array, z: jax.Array, lengthscales: jax.Array,
 # Fused decoupled-sampling rhs: f = rff_prior(x) + nu^T K(Z, x)
 # ---------------------------------------------------------------------------
 
-def _fused_rhs_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref, phase_ref,
-                      w_ref, nu_ref, out_ref):
-    """One n-tile program -> out (TN, D).
+def _rhs_tile(x, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref, nu_ref):
+    """rhs of one n-tile as VALUES: x (TN, Din) -> f (TN, D).
 
-    VMEM residents per output dim: phi (TN, S), gram (TN, M) — never in HBM.
+    Shared by the single-eval kernel and the rk4 segment megakernel. VMEM
+    residents per output dim: phi (TN, S), gram (TN, M) — never in HBM.
     """
     d_out = inv_ls_ref.shape[0]
     s = omega_ref.shape[2]
-    x = x_ref[:]                                   # (TN, Din)
-    z = z_ref[:]                                   # (M, Din)
     cols = []
     for d in range(d_out):                         # static tiny loop
         # RFF prior sample: cos(x @ omega_d + phase_d) * scale @ w_d.
@@ -158,7 +156,14 @@ def _fused_rhs_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref, phase_ref,
         gram = var_ref[d, 0] * jnp.exp(-0.5 * _sqdist_tile(x, z, inv_ls_ref[d]))
         f_update = jnp.sum(gram * nu_ref[d], axis=1, keepdims=True)  # (TN, 1)
         cols.append(f_prior + f_update)
-    out_ref[:] = jnp.concatenate(cols, axis=1)     # (TN, D)
+    return jnp.concatenate(cols, axis=1)           # (TN, D)
+
+
+def _fused_rhs_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref, phase_ref,
+                      w_ref, nu_ref, out_ref):
+    """One n-tile program -> out (TN, D)."""
+    out_ref[:] = _rhs_tile(x_ref[:], z_ref[:], inv_ls_ref, var_ref, omega_ref,
+                           phase_ref, w_ref, nu_ref)
 
 
 def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
@@ -200,24 +205,19 @@ def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
     return out[:n]                                           # (N, D)
 
 
-def _fused_rhs_bwd_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref,
-                          phase_ref, w_ref, nu_ref, g_ref,
-                          dx_ref, dz_ref, dls_ref, dvar_ref, domega_ref,
-                          dphase_ref, dw_ref, dnu_ref):
-    """Fused VJP of the decoupled-sampling rhs: one n-tile program.
+def _rhs_vjp_tile(x, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                  nu_ref, g):
+    """VJP of :func:`_rhs_tile` as VALUES: cotangent g (TN, D) -> (dx, params).
 
     Recomputes the forward intermediates (phi, gram) in VMEM and produces all
-    eight cotangents. dx is tile-indexed; the parameter cotangents use
-    constant-index output blocks accumulated across the (sequential) TPU grid
-    with an init-on-first-step pattern. Matvec-shaped contractions run as VPU
-    multiply-reduces (Mosaic cannot lower output-dim-1 MXU dots).
+    eight cotangents as tile-local values: (dx (TN, Din), (dz, dls, dvar,
+    domega, dphase, dw, dnu)). Matvec-shaped contractions run as VPU
+    multiply-reduces (Mosaic cannot lower output-dim-1 MXU dots). Shared by
+    the single-eval backward kernel and the rk4 segment megakernel backward.
     """
-    ni = pl.program_id(0)
     d_out = inv_ls_ref.shape[0]
-    din = x_ref.shape[1]
+    din = x.shape[1]
     s = omega_ref.shape[2]
-    x = x_ref[:]                                    # (TN, Din)
-    z = z_ref[:]                                    # (M, Din)
 
     dx_cols = []          # [d][k] -> (TN, 1)
     dz_cols = []          # [d][k] -> (M,)
@@ -228,7 +228,7 @@ def _fused_rhs_bwd_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref,
     dw_rows = []          # [d] -> (1, S)
     dnu_rows = []         # [d] -> (1, M)
     for d in range(d_out):                          # static tiny loop
-        g_d = g_ref[:, d:d + 1]                     # (TN, 1)
+        g_d = g[:, d:d + 1]                         # (TN, 1)
         var_d = var_ref[d, 0]
         scale = jnp.sqrt(2.0 * var_d / s)
 
@@ -288,6 +288,30 @@ def _fused_rhs_bwd_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref,
     dphase_tile = jnp.stack(dphase_rows, axis=0)                      # (D, 1, S)
     dw_tile = jnp.stack(dw_rows, axis=0)                              # (D, 1, S)
     dnu_tile = jnp.stack(dnu_rows, axis=0)                            # (D, 1, M)
+    return dx_tile, (dz_tile, dls_tile, dvar_tile, domega_tile, dphase_tile,
+                     dw_tile, dnu_tile)
+
+
+def _add_param_cotangents(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _fused_rhs_bwd_kernel(x_ref, z_ref, inv_ls_ref, var_ref, omega_ref,
+                          phase_ref, w_ref, nu_ref, g_ref,
+                          dx_ref, dz_ref, dls_ref, dvar_ref, domega_ref,
+                          dphase_ref, dw_ref, dnu_ref):
+    """Fused VJP of the rhs: one n-tile program.
+
+    dx is tile-indexed; the parameter cotangents use constant-index output
+    blocks accumulated across the (sequential) TPU grid with an
+    init-on-first-step pattern.
+    """
+    ni = pl.program_id(0)
+    dx_tile, params = _rhs_vjp_tile(x_ref[:], z_ref[:], inv_ls_ref, var_ref,
+                                    omega_ref, phase_ref, w_ref, nu_ref,
+                                    g_ref[:])
+    dz_tile, dls_tile, dvar_tile, domega_tile, dphase_tile, dw_tile, \
+        dnu_tile = params
 
     dx_ref[:] = dx_tile
 
@@ -423,3 +447,242 @@ def _fused_rhs_bwd(tile_n, interpret, residuals, g):
 
 
 fused_rhs.defvjp(_fused_rhs_fwd, _fused_rhs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# RK4 shooting-segment megakernel: the WHOLE one-interval integration (all
+# 4*substeps rhs stage evaluations and the RK combines) in one kernel, state
+# tile VMEM-resident throughout — HBM sees x0 in and x(t1) out. The backward
+# recomputes the stage chain in VMEM and reverse-propagates through it with
+# the fused rhs VJP, so the custom VJP is also its own rematerialization
+# (only x0 and the draw parameters are saved).
+# ---------------------------------------------------------------------------
+
+def _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                nu_ref):
+    """One rk4 step from x: returns (x_next, stage inputs (x1..x4))."""
+    k1 = _rhs_tile(x, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                   nu_ref)
+    x2 = x + 0.5 * dt * k1
+    k2 = _rhs_tile(x2, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                   nu_ref)
+    x3 = x + 0.5 * dt * k2
+    k3 = _rhs_tile(x3, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                   nu_ref)
+    x4 = x + dt * k3
+    k4 = _rhs_tile(x4, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
+                   nu_ref)
+    x_next = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    return x_next, (x, x2, x3, x4)
+
+
+def _fused_rk4_kernel(substeps, dt_ref, x_ref, z_ref, inv_ls_ref, var_ref,
+                      omega_ref, phase_ref, w_ref, nu_ref, out_ref):
+    dt = dt_ref[0, 0] / substeps
+    z = z_ref[:]
+    x = x_ref[:]
+    for _ in range(substeps):                       # static tiny unroll
+        x, _ = _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                           phase_ref, w_ref, nu_ref)
+    out_ref[:] = x
+
+
+def _fused_rk4_bwd_kernel(substeps, dt_ref, x_ref, z_ref, inv_ls_ref, var_ref,
+                          omega_ref, phase_ref, w_ref, nu_ref, g_ref,
+                          dx_ref, dz_ref, dls_ref, dvar_ref, domega_ref,
+                          dphase_ref, dw_ref, dnu_ref):
+    """Reverse sweep of the whole segment in VMEM.
+
+    Forward-recomputes the stage-input chain (cheap: Din/D ~ 5 per row), then
+    for each step in reverse applies the rk4 chain rule
+        gk4 = dt/6 g;        gk3 = dt/3 g + dt gx4
+        gk2 = dt/3 g + dt/2 gx3;  gk1 = dt/6 g + dt/2 gx2
+        g  <- g + gx1 + gx2 + gx3 + gx4
+    with (gx_i, params_i) from the fused rhs VJP at stage input x_i.
+    """
+    ni = pl.program_id(0)
+    dt = dt_ref[0, 0] / substeps
+    z = z_ref[:]
+
+    x = x_ref[:]
+    stage_inputs = []
+    for _ in range(substeps):
+        x, xs4 = _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                             phase_ref, w_ref, nu_ref)
+        stage_inputs.append(xs4)
+
+    def vjp(xi, gi):
+        return _rhs_vjp_tile(xi, z, inv_ls_ref, var_ref, omega_ref,
+                             phase_ref, w_ref, nu_ref, gi)
+
+    g = g_ref[:]
+    acc = None
+    for (x1, x2, x3, x4) in reversed(stage_inputs):
+        gx4, p4 = vjp(x4, (dt / 6.0) * g)
+        gx3, p3 = vjp(x3, (dt / 3.0) * g + dt * gx4)
+        gx2, p2 = vjp(x2, (dt / 3.0) * g + 0.5 * dt * gx3)
+        gx1, p1 = vjp(x1, (dt / 6.0) * g + 0.5 * dt * gx2)
+        g = g + gx1 + gx2 + gx3 + gx4
+        step_acc = _add_param_cotangents(
+            _add_param_cotangents(p1, p2), _add_param_cotangents(p3, p4))
+        acc = step_acc if acc is None else _add_param_cotangents(acc, step_acc)
+    dz_tile, dls_tile, dvar_tile, domega_tile, dphase_tile, dw_tile, \
+        dnu_tile = acc
+
+    dx_ref[:] = g
+
+    @pl.when(ni == 0)
+    def _init():
+        dz_ref[:] = dz_tile
+        dls_ref[:] = dls_tile
+        dvar_ref[:] = dvar_tile
+        domega_ref[:] = domega_tile
+        dphase_ref[:] = dphase_tile
+        dw_ref[:] = dw_tile
+        dnu_ref[:] = dnu_tile
+
+    @pl.when(ni > 0)
+    def _accum():
+        dz_ref[:] += dz_tile
+        dls_ref[:] += dls_tile
+        dvar_ref[:] += dvar_tile
+        domega_ref[:] += domega_tile
+        dphase_ref[:] += dphase_tile
+        dw_ref[:] += dw_tile
+        dnu_ref[:] += dnu_tile
+
+
+def _rk4_operand_layout(x, dt, z, lengthscales, variance, omega, phase,
+                        weights, nu, tile_n, est_floats_per_row):
+    n, din = x.shape
+    d = nu.shape[0]
+    tile_n = _auto_tile(tile_n, n, est_floats_per_row)
+    x_p = _pad_rows(x, tile_n)
+    dt2d = jnp.reshape(dt, (1, 1)).astype(jnp.float32)
+    inv_ls = (1.0 / lengthscales).astype(jnp.float32)
+    var2d = variance.reshape(d, 1).astype(jnp.float32)
+    omega_t = jnp.moveaxis(omega, -1, 0)            # (D, Din, S)
+    phase_t = jnp.moveaxis(phase, -1, 0)            # (D, 1, S)
+    w_t = weights.T[:, None, :]                     # (D, 1, S)
+    nu_t = nu[:, None, :]                           # (D, 1, M)
+    return tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t
+
+
+def _rk4_in_specs(tile_n, din, m, d, s):
+    return [
+        pl.BlockSpec((1, 1), lambda ni: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                     memory_space=pltpu.VMEM),
+        _full_spec((m, din)),
+        _full_spec((d, din)),
+        pl.BlockSpec((d, 1), lambda ni: (0, 0), memory_space=pltpu.SMEM),
+        _full_spec((d, din, s)),
+        _full_spec((d, 1, s)),
+        _full_spec((d, 1, s)),
+        _full_spec((d, 1, m)),
+    ]
+
+
+def _fused_rk4_forward(x, dt, z, lengthscales, variance, omega, phase,
+                       weights, nu, substeps, tile_n, interpret):
+    n, din = x.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(x, dt, z, lengthscales, variance, omega, phase,
+                            weights, nu, tile_n, 2 * d * (3 * s + 2 * m))
+    n_pad = x_p.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_fused_rk4_kernel, substeps),
+        grid=(n_pad // tile_n,),
+        in_specs=_rk4_in_specs(tile_n, din, m, d, s),
+        out_specs=pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+        interpret=interpret,
+    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
+    return out[:n]
+
+
+def _fused_rk4_bwd_pallas(x, dt, z, lengthscales, variance, omega, phase,
+                          weights, nu, g, substeps, tile_n, interpret):
+    n, din = x.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    # ~three rhs-VJP working sets live at once in the reverse chain
+    # (measured: 23.1k floats/row at D=5, S=256, M=100 — Mosaic shares stage
+    # buffers only partially)
+    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(x, dt, z, lengthscales, variance, omega, phase,
+                            weights, nu, tile_n, 3 * d * (4 * s + 5 * m))
+    g_p = _pad_rows(g.astype(jnp.float32), tile_n)
+    n_pad = x_p.shape[0]
+
+    const = _full_spec
+    outs = pl.pallas_call(
+        functools.partial(_fused_rk4_bwd_kernel, substeps),
+        grid=(n_pad // tile_n,),
+        in_specs=_rk4_in_specs(tile_n, din, m, d, s) + [
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),             # dx0
+            const((m, din)), const((d, din)), const((d, 1)),
+            const((d, din, s)), const((d, 1, s)), const((d, 1, s)),
+            const((d, 1, m)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+            jax.ShapeDtypeStruct((m, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, din, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
+    dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
+    return (dx[:n], dz, dls, dvar.reshape(variance.shape),
+            jnp.moveaxis(domega_t, 0, -1), jnp.moveaxis(dphase_t, 0, -1),
+            dw_t[:, 0, :].T, dnu_t[:, 0, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_rk4_segment(x0, dt, z, lengthscales, variance, omega, phase,
+                      weights, nu, substeps: int = 1,
+                      tile_n: int = DEFAULT_TILE_N, interpret: bool = False):
+    """Integrate one shooting segment with `substeps` rk4 steps in ONE kernel.
+
+    x0 (N, Din) -> x(t0 + dt) (N, D); the state tile and every stage
+    intermediate stay in VMEM for the whole integration. `dt` is treated as
+    non-differentiable (its cotangent is zero — observation grids are data);
+    call sites should stop_gradient it. All other operands get exact fused
+    cotangents via the in-kernel reverse sweep.
+    """
+    return _fused_rk4_forward(x0, dt, z, lengthscales, variance, omega, phase,
+                              weights, nu, substeps, tile_n, interpret)
+
+
+def _fused_rk4_fwd(x0, dt, z, lengthscales, variance, omega, phase, weights,
+                   nu, substeps, tile_n, interpret):
+    out = _fused_rk4_forward(x0, dt, z, lengthscales, variance, omega, phase,
+                             weights, nu, substeps, tile_n, interpret)
+    return out, (x0, dt, z, lengthscales, variance, omega, phase, weights, nu)
+
+
+def _fused_rk4_bwd(substeps, tile_n, interpret, residuals, g):
+    (x0, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
+    dx0, dz, dls, dvar, domega, dphase, dw, dnu = _fused_rk4_bwd_pallas(
+        x0, dt, z, lengthscales, variance, omega, phase, weights, nu, g,
+        substeps, tile_n, interpret)
+    return (dx0, jnp.zeros_like(dt), dz, dls, dvar, domega, dphase, dw, dnu)
+
+
+fused_rk4_segment.defvjp(_fused_rk4_fwd, _fused_rk4_bwd)

@@ -100,3 +100,46 @@ def test_fused_backward_kernel_all_cotangents():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4 * scale,
                                    err_msg=nm)
+
+
+def test_fused_rk4_segment_matches_odeint_fixed():
+    from gpode_tpu.ops.ode import odeint_fixed
+    from gpode_tpu.ops.pallas_kernels import fused_rk4_segment
+    # square field: state dim == output dim (the ODE case)
+    x, z, ls, var, omega, phase, w, nu = _setup(n=70, din=4, d=4)
+    dt = jnp.float32(0.07)
+    f = lambda t, xx: _rhs_reference_jnp(xx, z, ls, var, omega, phase, w, nu)
+    for substeps in (1, 3):
+        got = fused_rk4_segment(x, dt, z, ls, var, omega, phase, w, nu,
+                                substeps, 32, _INTERP)
+        want, _ = odeint_fixed(f, x, jnp.array([0.0, 0.07]), solver="rk4",
+                               substeps=substeps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want[-1]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rk4_segment_gradients_match_reference():
+    from gpode_tpu.ops.ode import odeint_fixed
+    from gpode_tpu.ops.pallas_kernels import fused_rk4_segment
+    x, z, ls, var, omega, phase, w, nu = _setup(n=50, din=4, d=4)
+    dt = jnp.float32(0.05)
+
+    def loss_pallas(x, z, ls, var, omega, phase, w, nu):
+        out = fused_rk4_segment(x, dt, z, ls, var, omega, phase, w, nu,
+                                2, 32, _INTERP)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(x, z, ls, var, omega, phase, w, nu):
+        f = lambda t, xx: _rhs_reference_jnp(xx, z, ls, var, omega, phase,
+                                             w, nu)
+        xs, _ = odeint_fixed(f, x, jnp.array([0.0, 0.05]), solver="rk4",
+                             substeps=2)
+        return jnp.sum(jnp.sin(xs[-1]))
+
+    args = (x, z, ls, var, omega, phase, w, nu)
+    g_pallas = jax.grad(loss_pallas, argnums=tuple(range(8)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ("dx", "dz", "dls", "dvar", "domega", "dphase", "dw", "dnu")
+    for name, a, b in zip(names, g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5, err_msg=name)
