@@ -26,7 +26,7 @@ import sys
 import time
 
 
-def measure_steps_per_sec(iters: int = 30, warmup: int = 3,
+def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
                           scale: bool = False, fast: bool = False) -> dict:
     import jax
     cache_dir = os.environ.get("GPODE_TPU_JAX_CACHE",
@@ -115,7 +115,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu)")
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--scale", action="store_true",
                         help="graded config 5: 256 inducing, 32 MC paths")
     parser.add_argument("--fast", action="store_true",
