@@ -89,11 +89,16 @@ def test_vdp_shooting_end_to_end_with_trainer():
     np.testing.assert_allclose(np.asarray(params.states.mean),
                                data.trn.ys[:, :-1], rtol=1e-5)
 
+    # 150 iters spans two async drain windows (64) plus a partial final one:
+    # every iteration must land in the meters exactly once, in order.
     trainer = Trainer(shooting_loss_fn(_ARGS),
-                      TrainConfig(num_iter=40, lr=1e-2, log_freq=1000))
+                      TrainConfig(num_iter=150, lr=1e-2, log_freq=1000))
     params, opt_state, key = trainer.train(params, jax.random.PRNGKey(2), ys, ts)
     assert np.isfinite(trainer.loss_meter.val)
     assert trainer.loss_meter.vals[-1] < trainer.loss_meter.vals[0]
+    assert trainer.loss_meter.iters == list(range(1, 151))
+    assert len(trainer.loss_meter.vals) == 150
+    assert not trainer._inflight
 
 
 def test_checkpoint_roundtrip(tmp_path):
