@@ -56,7 +56,7 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
         # remat keeps the 19200-segment backward inside HBM.
         args = ModelArgs(num_inducing=256, num_features=256, dimwise=True,
                          solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         num_samples=32, remat=True)
+                         first_step=-1.0, num_samples=32, remat=True)
     elif fast:
         # rk4 with one step per interval: bit-identical losses to dopri5 on
         # the dt=0.01 MoCap grid (which needs exactly one adaptive step) at
@@ -67,7 +67,7 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
     else:
         args = ModelArgs(num_inducing=100, num_features=256, dimwise=True,
                          solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         num_samples=5)
+                         first_step=-1.0, num_samples=5)
 
     params = build_shooting(jax.random.PRNGKey(0), args, data_pca.trn.ys,
                             projector=projector,

@@ -108,6 +108,37 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
     if cfg.remat:
         rhs = jax.checkpoint(rhs)
 
+    # dopri5 whole-span shooting segments: one fused attempt kernel computes
+    # f0 + all six stages + the scaled embedded error; the bounded-scan
+    # solver remains as the lax.cond fallback for rejected attempts, so both
+    # branches reproduce the XLA path's math exactly (an accepted whole-span
+    # attempt IS the scan's first accepted step, endpoint un-interpolated).
+    from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+    if (cfg.solver == "dopri5" and ts.shape[0] == 2
+            and cfg.first_step == FIRST_STEP_SPAN
+            and gp.pallas_rhs_active(gp_params, x0.shape[0])):
+        from gpode_tpu.ops.pallas_kernels import fused_dopri5_attempt
+        dt = jax.lax.stop_gradient(ts[1] - ts[0])
+        x5, err_scaled = fused_dopri5_attempt(
+            x0, dt, gp_params.z, gp_params.kernel.lengthscales,
+            gp_params.kernel.variance, draw.omega, draw.phase, draw.weights,
+            draw.nu, cfg.rtol, cfg.atol)
+        err_ratio = jnp.sqrt(jnp.mean(jnp.square(err_scaled)))
+
+        def _accepted():
+            st = ODEStats(jnp.asarray(7, jnp.int32), jnp.asarray(1, jnp.int32),
+                          jnp.asarray(1, jnp.int32), jnp.asarray(2, jnp.int32))
+            return x5, st
+
+        def _fallback():
+            xs, st = odeint(rhs, x0, ts, solver="dopri5", rtol=cfg.rtol,
+                            atol=cfg.atol, max_steps=cfg.max_steps,
+                            first_step=cfg.first_step)
+            return xs[-1], ODEStats(*(jnp.asarray(v, jnp.int32) for v in st))
+
+        x1, stats = jax.lax.cond(err_ratio <= 1.0, _accepted, _fallback)
+        return jnp.stack([x0, x1], axis=1), stats
+
     xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
                        atol=cfg.atol, substeps=cfg.substeps,
                        max_steps=cfg.max_steps, first_step=cfg.first_step)

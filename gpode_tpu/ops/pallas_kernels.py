@@ -686,3 +686,231 @@ def _fused_rk4_bwd(substeps, tile_n, interpret, residuals, g):
 
 
 fused_rk4_segment.defvjp(_fused_rk4_fwd, _fused_rk4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# dopri5 single-attempt megakernel: one whole-span Dormand-Prince step (the
+# `first_step=FIRST_STEP_SPAN` shooting-segment case) — f0 + six fresh stage
+# evaluations + 5th-order combine + scaled embedded error, all in one kernel.
+# The caller checks the global error norm and lax.cond-falls back to the
+# bounded-scan solver on the (rare) reject, so results match the XLA path in
+# both branches. The error output is non-differentiable by construction
+# (the step-size controller is stop-gradient); the backward reverses only
+# the 5th-order stage chain, in-kernel.
+# ---------------------------------------------------------------------------
+
+# Dormand-Prince tableau as plain tuples (mirrors ops/ode.py:_DP_*; kept
+# local so the kernel module has no circular import).
+_DP_A_K = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+)
+_DP_B5_K = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4_K = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+            187 / 2100, 1 / 40)
+
+
+def _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref, phase_ref,
+                     w_ref, nu_ref):
+    """Forward stage sweep: returns (x5, stage inputs x1..x6, ks k1..k7)."""
+    def f(xx):
+        return _rhs_tile(xx, z, inv_ls_ref, var_ref, omega_ref, phase_ref,
+                         w_ref, nu_ref)
+
+    ks = [f(x)]
+    xs = [x]
+    for i in range(1, 6):
+        xi = x + dt * sum(a * k for a, k in zip(_DP_A_K[i], ks))
+        xs.append(xi)
+        ks.append(f(xi))
+    x5 = x + dt * sum(b * k for b, k in zip(_DP_B5_K, ks) if b != 0.0)
+    ks.append(f(x5))                                     # k7 = f(x5), err only
+    return x5, xs, ks
+
+
+def _fused_dp_attempt_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
+                             var_ref, omega_ref, phase_ref, w_ref, nu_ref,
+                             x5_ref, err_ref):
+    dt = dt_ref[0, 0]
+    z = z_ref[:]
+    x = x_ref[:]
+    x5, _, ks = _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                                 phase_ref, w_ref, nu_ref)
+    err = dt * sum((b5 - b4) * k
+                   for b5, b4, k in zip(_DP_B5_K, _DP_B4_K, ks))
+    scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
+    x5_ref[:] = x5
+    err_ref[:] = err / scale
+
+
+def _fused_dp_attempt_bwd_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
+                                 var_ref, omega_ref, phase_ref, w_ref, nu_ref,
+                                 g_ref, dx_ref, dz_ref, dls_ref, dvar_ref,
+                                 domega_ref, dphase_ref, dw_ref, dnu_ref):
+    """Reverse the 5th-order chain: y5 = x + dt sum b_i k_i, k_i = f(x_i).
+
+    gk_i = dt*b_i*gy + dt * sum_{l>i} a_{l,i} * gx_l, processed descending;
+    the embedded-error output carries no cotangent (stop-gradient controller).
+    """
+    ni = pl.program_id(0)
+    dt = dt_ref[0, 0]
+    z = z_ref[:]
+    x = x_ref[:]
+    _, xs, _ = _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                                phase_ref, w_ref, nu_ref)
+
+    def vjp(xi, gi):
+        return _rhs_vjp_tile(xi, z, inv_ls_ref, var_ref, omega_ref,
+                             phase_ref, w_ref, nu_ref, gi)
+
+    gy = g_ref[:]
+    gk = [dt * b * gy for b in _DP_B5_K[:6]]             # k7 has b5 = 0
+    gx_total = gy
+    acc = None
+    for i in range(5, -1, -1):                           # stages 6..1
+        gxi, pi = vjp(xs[i], gk[i])
+        gx_total = gx_total + gxi
+        for j in range(i):
+            a = _DP_A_K[i][j] if i > 0 else None
+            if a:                                        # skip zero entries
+                gk[j] = gk[j] + dt * a * gxi
+        acc = pi if acc is None else _add_param_cotangents(acc, pi)
+    dz_tile, dls_tile, dvar_tile, domega_tile, dphase_tile, dw_tile, \
+        dnu_tile = acc
+
+    dx_ref[:] = gx_total
+
+    @pl.when(ni == 0)
+    def _init():
+        dz_ref[:] = dz_tile
+        dls_ref[:] = dls_tile
+        dvar_ref[:] = dvar_tile
+        domega_ref[:] = domega_tile
+        dphase_ref[:] = dphase_tile
+        dw_ref[:] = dw_tile
+        dnu_ref[:] = dnu_tile
+
+    @pl.when(ni > 0)
+    def _accum():
+        dz_ref[:] += dz_tile
+        dls_ref[:] += dls_tile
+        dvar_ref[:] += dvar_tile
+        domega_ref[:] += domega_tile
+        dphase_ref[:] += dphase_tile
+        dw_ref[:] += dw_tile
+        dnu_ref[:] += dnu_tile
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_dopri5_attempt(x0, dt, z, lengthscales, variance, omega, phase,
+                         weights, nu, rtol: float = 1e-6, atol: float = 1e-6,
+                         tile_n: int = DEFAULT_TILE_N,
+                         interpret: bool = False):
+    """One whole-span Dormand-Prince attempt in ONE kernel.
+
+    Returns (x5 (N, D), err_scaled (N, D)): the 5th-order endpoint and the
+    embedded error estimate already divided by the tolerance scale — reduce
+    with the caller's error norm and compare against 1 to accept. err_scaled
+    is emitted under stop_gradient (controller decisions are
+    non-differentiable, matching `ops/ode.py`); dt is likewise treated as
+    non-differentiable.
+    """
+    x5, err = _fused_dp_forward(x0, dt, z, lengthscales, variance, omega,
+                                phase, weights, nu, rtol, atol, tile_n,
+                                interpret)
+    return x5, jax.lax.stop_gradient(err)
+
+
+def _fused_dp_forward(x, dt, z, lengthscales, variance, omega, phase, weights,
+                      nu, rtol, atol, tile_n, interpret):
+    n, din = x.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(x, dt, z, lengthscales, variance, omega, phase,
+                            weights, nu, tile_n, 2 * d * (3 * s + 2 * m))
+    n_pad = x_p.shape[0]
+
+    x5, err = pl.pallas_call(
+        functools.partial(_fused_dp_attempt_kernel, float(rtol), float(atol)),
+        grid=(n_pad // tile_n,),
+        in_specs=_rk4_in_specs(tile_n, din, m, d, s),
+        out_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
+    return x5[:n], err[:n]
+
+
+def _fused_dp_fwd(x0, dt, z, lengthscales, variance, omega, phase, weights,
+                  nu, rtol, atol, tile_n, interpret):
+    out = _fused_dp_forward(x0, dt, z, lengthscales, variance, omega, phase,
+                            weights, nu, rtol, atol, tile_n, interpret)
+    x5, err = out
+    return (x5, jax.lax.stop_gradient(err)), (
+        x0, dt, z, lengthscales, variance, omega, phase, weights, nu)
+
+
+def _fused_dp_bwd(rtol, atol, tile_n, interpret, residuals, gs):
+    g_x5, _ = gs                                         # err: stop-gradient
+    (x0, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
+    n, din = x0.shape
+    m = z.shape[0]
+    d = nu.shape[0]
+    s = weights.shape[0]
+    # ~five rhs-VJP working sets live through the six-stage reverse chain
+    # (compiler measured 33.3k floats/row at D=5, S=256, M=100)
+    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(x0, dt, z, lengthscales, variance, omega, phase,
+                            weights, nu, tile_n, 5 * d * (4 * s + 5 * m))
+    g_p = _pad_rows(g_x5.astype(jnp.float32), tile_n)
+    n_pad = x_p.shape[0]
+
+    const = _full_spec
+    outs = pl.pallas_call(
+        functools.partial(_fused_dp_attempt_bwd_kernel, float(rtol),
+                          float(atol)),
+        grid=(n_pad // tile_n,),
+        in_specs=_rk4_in_specs(tile_n, din, m, d, s) + [
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            const((m, din)), const((d, din)), const((d, 1)),
+            const((d, din, s)), const((d, 1, s)), const((d, 1, s)),
+            const((d, 1, m)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+            jax.ShapeDtypeStruct((m, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, din), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, din, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
+    dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
+    return (dx[:n], jnp.zeros_like(dt), dz, dls,
+            dvar.reshape(variance.shape), jnp.moveaxis(domega_t, 0, -1),
+            jnp.moveaxis(dphase_t, 0, -1), dw_t[:, 0, :].T, dnu_t[:, 0, :])
+
+
+fused_dopri5_attempt.defvjp(_fused_dp_fwd, _fused_dp_bwd)

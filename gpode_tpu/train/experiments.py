@@ -61,6 +61,10 @@ class ExperimentArgs:
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 64
+    # dopri5 initial step; None = Hairer heuristic, -1.0 = whole span (the
+    # shooting drivers default to whole-span on their one-interval segments,
+    # which also engages the fused single-attempt Pallas kernel on TPU)
+    first_step: Optional[float] = None
     use_adjoint: bool = False
     remat: bool = False
     # training (`train_vdp_gpode.py:56-68`)
@@ -90,11 +94,26 @@ class ExperimentArgs:
             num_features=self.num_features, num_inducing=self.num_inducing,
             dimwise=self.dimwise, q_diag=self.q_diag, solver=self.solver,
             ts_dense_scale=self.ts_dense_scale, rtol=self.rtol, atol=self.atol,
-            max_steps=self.max_steps, use_adjoint=self.use_adjoint,
+            max_steps=self.max_steps, first_step=self.first_step,
+            use_adjoint=self.use_adjoint,
             remat=self.remat, num_samples=self.num_samples,
             constraint_type=self.constraint_type,
             constraint_trainable=self.constraint_trainable,
             constraint_initial_scale=self.constraint_initial_scale)
+
+
+def _shooting_margs(margs: ModelArgs, shooting_variant: bool) -> ModelArgs:
+    """Shooting trains one-interval segments: default dopri5 to a whole-span
+    first attempt (first_step=-1.0) — one accepted step usually covers the
+    segment, the init heuristic's probe eval is wasted, and the fused
+    single-attempt Pallas kernel can engage on TPU. The controller still
+    rejects and shrinks when the tolerance disagrees; pass an explicit
+    --first_step to override."""
+    if (shooting_variant and margs.solver == "dopri5"
+            and margs.first_step is None):
+        from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+        return dataclasses.replace(margs, first_step=FIRST_STEP_SPAN)
+    return margs
 
 
 def _setup_run(args: ExperimentArgs, name: str):
@@ -183,12 +202,15 @@ def run_2d(args: ExperimentArgs, data, name: str,
     logger = _setup_run(args, name)
     key = jax.random.PRNGKey(args.seed)
 
-    margs = args.model_args()
+    margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
     # Evaluation integrates whole (extrapolated) trajectories; give the
     # adaptive solver a budget sized for the full horizon regardless of the
-    # (much smaller) budget the shooting training interval needs.
-    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
+    # (much smaller) budget the shooting training interval needs, and keep
+    # the init-step heuristic (a whole-span first attempt is only right for
+    # one-interval training segments).
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
+                                   first_step=None)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
@@ -296,9 +318,10 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     projector = latent_to_data_projector(data_pca)
     d_full = data_full.trn.ys.shape[-1]
 
-    margs = args.model_args()
+    margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
-    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
+                                   first_step=None)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
 

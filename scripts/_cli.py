@@ -44,6 +44,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="ODE solver for numerical integration")
     p.add_argument("--ts_dense_scale", type=int, default=4,
                    help="Dense integration grid factor (fixed-step solvers)")
+    p.add_argument("--first_step", type=float, default=None,
+                   help="dopri5 initial step (None=heuristic, -1=whole span; "
+                        "shooting drivers default to -1)")
     p.add_argument("--max_steps", type=int, default=64,
                    help="Adaptive-solver step budget per solve")
     p.add_argument("--use_adjoint", type=_str2bool, default=False,

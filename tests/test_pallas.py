@@ -143,3 +143,50 @@ def test_fused_rk4_segment_gradients_match_reference():
     for name, a, b in zip(names, g_pallas, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5, err_msg=name)
+
+
+def test_fused_dopri5_attempt_matches_dp_step():
+    from gpode_tpu.ops.ode import odeint_dopri5
+    from gpode_tpu.ops.pallas_kernels import fused_dopri5_attempt
+    x, z, ls, var, omega, phase, w, nu = _setup(n=60, din=4, d=4)
+    dt = jnp.float32(0.06)
+    rtol, atol = 1e-6, 1e-6
+    x5, err_scaled = fused_dopri5_attempt(x, dt, z, ls, var, omega, phase,
+                                          w, nu, rtol, atol, 32, _INTERP)
+    # an accepted whole-span attempt IS the scan solver's single step
+    f = lambda t, xx: _rhs_reference_jnp(xx, z, ls, var, omega, phase, w, nu)
+    want, stats = odeint_dopri5(f, x, jnp.array([0.0, 0.06]), rtol=rtol,
+                                atol=atol, max_steps=8, first_step=-1.0)
+    if int(stats.num_accepted) == 1 and int(stats.num_attempted) == 1:
+        np.testing.assert_allclose(np.asarray(x5), np.asarray(want[-1]),
+                                   rtol=2e-5, atol=2e-5)
+    assert np.isfinite(np.asarray(err_scaled)).all()
+
+
+def test_fused_dopri5_attempt_gradients_match_reference():
+    from gpode_tpu.ops.pallas_kernels import (_rhs_reference_jnp,
+                                              fused_dopri5_attempt)
+    x, z, ls, var, omega, phase, w, nu = _setup(n=40, din=4, d=4)
+    dt = jnp.float32(0.05)
+
+    def loss_pallas(x, z, ls, var, omega, phase, w, nu):
+        x5, _ = fused_dopri5_attempt(x, dt, z, ls, var, omega, phase, w, nu,
+                                     1e-6, 1e-6, 32, _INTERP)
+        return jnp.sum(jnp.sin(x5))
+
+    def loss_ref(x, z, ls, var, omega, phase, w, nu):
+        # the same single DP step via the differentiable scan solver
+        from gpode_tpu.ops.ode import odeint_dopri5
+        f = lambda t, xx: _rhs_reference_jnp(xx, z, ls, var, omega, phase,
+                                             w, nu)
+        xs, _ = odeint_dopri5(f, x, jnp.array([0.0, 0.05]), rtol=1e-6,
+                              atol=1e-6, max_steps=4, first_step=-1.0)
+        return jnp.sum(jnp.sin(xs[-1]))
+
+    args = (x, z, ls, var, omega, phase, w, nu)
+    g_pallas = jax.grad(loss_pallas, argnums=tuple(range(8)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ("dx", "dz", "dls", "dvar", "domega", "dphase", "dw", "dnu")
+    for name, a, b in zip(names, g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=name)
