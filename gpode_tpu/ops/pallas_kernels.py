@@ -775,8 +775,8 @@ def _fused_dp_attempt_bwd_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
         gxi, pi = vjp(xs[i], gk[i])
         gx_total = gx_total + gxi
         for j in range(i):
-            a = _DP_A_K[i][j] if i > 0 else None
-            if a:                                        # skip zero entries
+            a = _DP_A_K[i][j]
+            if a != 0.0:
                 gk[j] = gk[j] + dt * a * gxi
         acc = pi if acc is None else _add_param_cotangents(acc, pi)
     dz_tile, dls_tile, dvar_tile, domega_tile, dphase_tile, dw_tile, \

@@ -71,11 +71,11 @@ def main():
     if cli.scale:
         args = ModelArgs(num_inducing=256, num_features=256, dimwise=True,
                          solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         num_samples=32, remat=True)
+                         first_step=-1.0, num_samples=32, remat=True)
     else:
         args = ModelArgs(num_inducing=100, num_features=256, dimwise=True,
                          solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         num_samples=5)
+                         first_step=-1.0, num_samples=5)
 
     params = build_shooting(jax.random.PRNGKey(0), args, data_pca.trn.ys,
                             projector=projector,
