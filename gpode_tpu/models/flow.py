@@ -49,10 +49,27 @@ class SolverConfig:
     # flag -> torchdiffeq.odeint_adjoint, `flow.py:41,68`; scripts default it
     # off). See `gpode_tpu.ops.adjoint`.
     use_adjoint: bool = False
+    # Per-config Pallas override: None defers to the global/auto rule
+    # (`gp.set_pallas_rhs`); False pins the XLA rhs and disables the segment
+    # megakernels. The GSPMD sharded step sets False — a pallas_call is
+    # opaque to the partitioner, so under bare jit+GSPMD XLA would all-gather
+    # the sharded segment batch around it (the shard_map path keeps Pallas:
+    # kernels there run per-shard).
+    pallas: Optional[bool] = None
 
     @property
     def substeps(self) -> int:
         return substeps_from_dense_scale(self.ts_dense_scale)
+
+
+def _cfg_pallas_active(cfg: SolverConfig, gp_params: gp.SVGPParams,
+                       n_rows: int) -> bool:
+    """Megakernel gate: the config's `pallas` override, else global/auto."""
+    if cfg.pallas is False:
+        return False
+    if cfg.pallas is True:
+        return gp_params.dimwise and jax.default_backend() == "tpu"
+    return gp.pallas_rhs_active(gp_params, n_rows)
 
 
 def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
@@ -82,7 +99,7 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
     # fused in-kernel reverse sweep for the backward (inherently
     # rematerialized — only x0 and the draw are saved).
     if (cfg.solver == "rk4" and ts.shape[0] == 2
-            and gp.pallas_rhs_active(gp_params, x0.shape[0])):
+            and _cfg_pallas_active(cfg, gp_params, x0.shape[0])):
         from gpode_tpu.ops.pallas_kernels import fused_rk4_segment
         dt = jax.lax.stop_gradient(ts[1] - ts[0])
         x1 = fused_rk4_segment(x0, dt, gp_params.z,
@@ -99,7 +116,7 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
     # the implicit BDF solver differentiates its Newton vjp a second time in
     # the training backward; the Pallas custom_vjp has no rule for that, so
     # BDF pins the rhs to the XLA path.
-    use_pallas = False if cfg.solver == "bdf" else None
+    use_pallas = False if cfg.solver == "bdf" else cfg.pallas
 
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)
@@ -116,7 +133,7 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
     from gpode_tpu.ops.ode import FIRST_STEP_SPAN
     if (cfg.solver == "dopri5" and ts.shape[0] == 2
             and cfg.first_step == FIRST_STEP_SPAN
-            and gp.pallas_rhs_active(gp_params, x0.shape[0])):
+            and _cfg_pallas_active(cfg, gp_params, x0.shape[0])):
         from gpode_tpu.ops.pallas_kernels import fused_dopri5_attempt
         dt = jax.lax.stop_gradient(ts[1] - ts[0])
         x5, err_scaled = fused_dopri5_attempt(
@@ -167,7 +184,7 @@ def flow_forward_batched(gp_params: gp.SVGPParams, draws: gp.PosteriorDraw,
     """
     from gpode_tpu.ops.ode import max_rms_over_axis0
 
-    use_pallas = False if cfg.solver == "bdf" else None
+    use_pallas = False if cfg.solver == "bdf" else cfg.pallas
 
     def rhs(t, x):
         del t  # time-invariant ODE (`dsvgp.py:172`)

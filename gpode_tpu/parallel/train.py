@@ -8,8 +8,8 @@ per step, now SPMD over the mesh.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-
 
 import jax
 import optax
@@ -25,7 +25,11 @@ def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
                                frozen_mask=None):
     """Jitted sharded step: (params, opt_state, key, ys, ts) -> (params,
     opt_state, key, terms). ys must have N divisible by the `dp` axis size."""
-    cfg = args.solver_config()
+    # Pin the XLA rhs under GSPMD: a pallas_call is opaque to the
+    # partitioner, so XLA would all-gather the dp/mc-sharded segment batch
+    # around it. The explicit-collective shard_map path keeps Pallas — its
+    # kernels run per-shard (see parallel/shard_map_step.py).
+    cfg = dataclasses.replace(args.solver_config(), pallas=False)
     ss_sharding = sample_sharding(mesh)
     rep = replicated(mesh)
     data_shard = batch_sharding(mesh, "dp") if "dp" in mesh.axis_names else rep
@@ -77,6 +81,7 @@ def make_sharded_predict(mesh: Mesh, cfg, num_features: int,
 
     axis = mesh.axis_names[0]
     draw_sharding = NamedSharding(mesh, P(axis))
+    cfg = dataclasses.replace(cfg, pallas=False)   # same GSPMD rule as above
 
     @partial(jax.jit, out_shardings=draw_sharding)
     def predict(key, vparams, ts, x0):
