@@ -151,7 +151,12 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
             xs, st = odeint(rhs, x0, ts, solver="dopri5", rtol=cfg.rtol,
                             atol=cfg.atol, max_steps=cfg.max_steps,
                             first_step=cfg.first_step)
-            return xs[-1], ODEStats(*(jnp.asarray(v, jnp.int32) for v in st))
+            # the rejected attempt's 7 kernel evaluations still happened
+            return xs[-1], ODEStats(
+                jnp.asarray(st.num_rhs_evals + 7, jnp.int32),
+                jnp.asarray(st.num_accepted, jnp.int32),
+                jnp.asarray(st.num_attempted + 1, jnp.int32),
+                jnp.asarray(st.num_covered, jnp.int32))
 
         x1, stats = jax.lax.cond(err_ratio <= 1.0, _accepted, _fallback)
         return jnp.stack([x0, x1], axis=1), stats

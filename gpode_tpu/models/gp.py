@@ -253,8 +253,7 @@ def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
     solver's Newton iterations).
     """
     if use_pallas is None:
-        use_pallas = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
-                      else x.shape[0] >= _PALLAS_RHS_MIN_ROWS)
+        use_pallas = pallas_rhs_active(params, x.shape[0])
     if use_pallas and params.dimwise and jax.default_backend() == "tpu":
         from gpode_tpu.ops.pallas_kernels import fused_rhs
         return fused_rhs(x, params.z, params.kernel.lengthscales,

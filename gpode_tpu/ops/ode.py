@@ -227,8 +227,9 @@ def odeint_bdf(f: Callable, x0: jax.Array, ts: jax.Array, *,
     BDF1 (backward Euler, also A-stable), the rest BDF2
         y_{n+1} = (4 y_n - y_{n-1})/3 + (2h/3) f(y_{n+1}),
     each implicit equation resolved by `newton_iters` full Newton iterations
-    with exact block-diagonal Jacobians from forward-mode AD (see
-    `_newton_implicit_step`). Everything is a static unroll inside one
+    with exact block-diagonal Jacobians built in reverse mode — one vjp + D
+    pullbacks per iteration (see `_newton_implicit_step`; forward-mode would
+    not compose with the Pallas rhs custom_vjp). Everything is a static unroll inside one
     `lax.scan` over intervals; reverse-mode differentiable end to end.
     """
     def interval(carry, t_pair):
@@ -328,7 +329,8 @@ def _dopri5_step(f, t, x, dt, k1):
     """One Dormand-Prince step; FSAL: k1 = f(t, x) supplied, k7 returned for reuse.
 
     Returns (x5, err, k7): 5th-order solution, embedded error estimate, last
-    stage evaluation (equal to f(t+dt, x5)). Costs 5 fresh rhs evaluations.
+    stage evaluation (equal to f(t+dt, x5)). Costs 6 fresh rhs evaluations
+    (k2..k7; k1 arrives free via FSAL).
     """
     ks = [k1]
     for i in range(1, 7):
@@ -475,7 +477,7 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         covered_next = covered | newly
 
         return (tau_next, x_next, k1_next, dt_next, out_next, covered_next,
-                nfe + 5, nacc + jnp.where(accept, 1, 0), natt + 1)
+                nfe + 6, nacc + jnp.where(accept, 1, 0), natt + 1)
 
     def body(carry, _):
         # Whole-body branch skip: once the trajectory is covered, each

@@ -699,19 +699,11 @@ fused_rk4_segment.defvjp(_fused_rk4_fwd, _fused_rk4_bwd)
 # the 5th-order stage chain, in-kernel.
 # ---------------------------------------------------------------------------
 
-# Dormand-Prince tableau as plain tuples (mirrors ops/ode.py:_DP_*; kept
-# local so the kernel module has no circular import).
-_DP_A_K = (
-    (),
-    (1 / 5,),
-    (3 / 40, 9 / 40),
-    (44 / 45, -56 / 15, 32 / 9),
-    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
-    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
-)
-_DP_B5_K = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
-_DP_B4_K = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-            187 / 2100, 1 / 40)
+# Dormand-Prince tableau: the ONE copy lives in ops/ode.py — exact
+# coefficient agreement is the megakernel/scan-path equivalence invariant
+# (an accepted whole-span attempt must BE the scan's first accepted step).
+from gpode_tpu.ops.ode import (_DP_A as _DP_A_K, _DP_B4 as _DP_B4_K,
+                               _DP_B5 as _DP_B5_K)
 
 
 def _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref, phase_ref,

@@ -219,7 +219,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
         if args.plots:
             from gpode_tpu.plots import plots_2d
             plots_2d.plot_shooting_initialization(
-                k_init, params, data, cfg, margs.num_features, args.save,
+                k_init, params, data, eval_cfg, margs.num_features, args.save,
                 "model_before_initialization.png")
         params = params._replace(gp=initialize_inducing(
             params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
@@ -245,7 +245,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
         from gpode_tpu.plots import plots_2d
         if shooting_variant:
             plots_2d.plot_shooting_initialization(
-                k_init, params, data, cfg, margs.num_features, args.save,
+                k_init, params, data, eval_cfg, margs.num_features, args.save,
                 "model_after_initialization.png")
         else:
             plots_2d.plot_model_initialization(

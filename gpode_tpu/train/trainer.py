@@ -139,7 +139,7 @@ class Trainer:
             return begin
         if self._terms_fields is None:
             self._terms_fields = tuple(pending[0][1]._fields)
-        while len(self._inflight) > 1:
+        while len(self._inflight) >= 1:
             self._collect_one(warmup_iters)
         iters = [itr for itr, _ in pending]
         block = self._pack([t for _, t in pending])
