@@ -98,3 +98,23 @@ def test_max_rms_norm_keeps_stiff_member_accurate():
     # sanity on the norm itself: max of per-member RMS, not a global RMS
     r = jnp.stack([jnp.zeros((3,)), 2.0 * jnp.ones((3,))])
     np.testing.assert_allclose(float(max_rms_over_axis0(r)), 2.0, rtol=1e-6)
+
+
+def test_cfg_pallas_override_gates():
+    # pure trace-time logic: cfg.pallas False always wins; True still needs
+    # dimwise + a TPU backend; None defers to the global/auto rule.
+    from gpode_tpu.models.flow import SolverConfig, _cfg_pallas_active
+    from gpode_tpu.models.gp import init_svgp, set_pallas_rhs
+
+    params = init_svgp(jax.random.PRNGKey(0), 2, 2, 4, dimwise=True)
+    off = SolverConfig(pallas=False)
+    on = SolverConfig(pallas=True)
+    auto = SolverConfig()
+    assert _cfg_pallas_active(off, params, 10_000) is False
+    # CPU test backend: the True branch must still refuse (no TPU)
+    assert _cfg_pallas_active(on, params, 10_000) is False
+    try:
+        set_pallas_rhs(True)
+        assert _cfg_pallas_active(auto, params, 8) is False  # CPU backend
+    finally:
+        set_pallas_rhs(None)
