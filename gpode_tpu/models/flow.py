@@ -84,12 +84,15 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         from gpode_tpu.ops.adjoint import odeint_adjoint
         from gpode_tpu.ops.ode import ODEStats as _Stats
 
+        adj_pallas = False if cfg.solver == "bdf" else cfg.pallas
+
         def rhs_p(p, t, x):
             del t  # time-invariant ODE (`dsvgp.py:172`)
-            return gp.eval_draw(p[0], p[1], x)
+            return gp.eval_draw(p[0], p[1], x, adj_pallas)
 
         xs = odeint_adjoint(rhs_p, (gp_params, draw), x0, ts, cfg.solver,
-                            cfg.rtol, cfg.atol, cfg.substeps, cfg.max_steps)
+                            cfg.rtol, cfg.atol, cfg.substeps, cfg.max_steps,
+                            first_step=cfg.first_step)
         zero = jnp.zeros((), dtype=jnp.int32)
         return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero, zero)
 
@@ -105,8 +108,8 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         x1 = fused_rk4_segment(x0, dt, gp_params.z,
                                gp_params.kernel.lengthscales,
                                gp_params.kernel.variance, draw.omega,
-                               draw.phase, draw.weights, draw.nu,
-                               cfg.substeps)
+                               draw.phase, gp.kernel_rff_weights(draw.weights),
+                               draw.nu, cfg.substeps)
         steps = jnp.asarray(cfg.substeps)
         stats = ODEStats(num_rhs_evals=jnp.asarray(4 * cfg.substeps),
                          num_accepted=steps, num_attempted=steps,
@@ -138,8 +141,8 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
         dt = jax.lax.stop_gradient(ts[1] - ts[0])
         x5, err_scaled = fused_dopri5_attempt(
             x0, dt, gp_params.z, gp_params.kernel.lengthscales,
-            gp_params.kernel.variance, draw.omega, draw.phase, draw.weights,
-            draw.nu, cfg.rtol, cfg.atol)
+            gp_params.kernel.variance, draw.omega, draw.phase,
+            gp.kernel_rff_weights(draw.weights), draw.nu, cfg.rtol, cfg.atol)
         err_ratio = jnp.sqrt(jnp.mean(jnp.square(err_scaled)))
 
         def _accepted():

@@ -239,6 +239,17 @@ def pallas_rhs_active(params: SVGPParams, n_rows: int) -> bool:
     return bool(use) and params.dimwise and jax.default_backend() == "tpu"
 
 
+def kernel_rff_weights(weights: jax.Array) -> jax.Array:
+    """RFF weights adjusted for the Pallas kernels, which hardcode the
+    canonical sqrt(2 var/S) feature scale: under the reference-compat scale
+    (`set_rff_reference_scale(True)`, factor 1) the convention folds into the
+    weights as w * sqrt(factor/2) — mathematically identical prior sample,
+    and cotangents chain through the outer multiply automatically."""
+    if _RFF_SCALE_FACTOR == 2.0:
+        return weights
+    return weights * jnp.sqrt(_RFF_SCALE_FACTOR / 2.0)
+
+
 def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
               use_pallas: bool | None = None) -> jax.Array:
     """Evaluate the sampled vector field f(x): (N, Din) -> (N, D).
@@ -258,7 +269,7 @@ def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
         from gpode_tpu.ops.pallas_kernels import fused_rhs
         return fused_rhs(x, params.z, params.kernel.lengthscales,
                          params.kernel.variance, draw.omega, draw.phase,
-                         draw.weights, draw.nu)
+                         kernel_rff_weights(draw.weights), draw.nu)
     f_prior = rff_eval(params, draw.omega, draw.phase, draw.weights, x)
     kuf = rbf_K(params.kernel, params.z, x)                     # (M, N) or (D, M, N)
     if params.dimwise:

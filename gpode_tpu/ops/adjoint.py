@@ -30,29 +30,36 @@ import jax.numpy as jnp
 from gpode_tpu.ops.ode import odeint
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8, 9))
 def odeint_adjoint(f: Callable, params, x0: jax.Array, ts: jax.Array,
                    solver: str = "dopri5", rtol: float = 1e-6,
                    atol: float = 1e-6, substeps: int = 1,
-                   max_steps: int = 256) -> jax.Array:
+                   max_steps: int = 256,
+                   first_step: float | None = None) -> jax.Array:
     """Integrate dx/dt = f(params, t, x) from x0 over ts; gradients via the
     continuous adjoint. Returns xs (T, *x0.shape) (stats are not exposed —
     they would require a custom-vjp aux path; use `odeint` for diagnostics).
     """
     xs, _ = odeint(lambda t, x: f(params, t, x), x0, ts, solver=solver,
                    rtol=rtol, atol=atol, substeps=substeps,
-                   max_steps=max_steps)
+                   max_steps=max_steps, first_step=first_step)
     return xs
 
 
-def _fwd(f, params, x0, ts, solver, rtol, atol, substeps, max_steps):
+def _fwd(f, params, x0, ts, solver, rtol, atol, substeps, max_steps,
+         first_step):
     # (custom_vjp passes nondiff args in-position to fwd, but first to bwd.)
     xs = odeint_adjoint(f, params, x0, ts, solver, rtol, atol, substeps,
-                        max_steps)
+                        max_steps, first_step)
     return xs, (params, xs, ts)
 
 
-def _bwd(f, solver, rtol, atol, substeps, max_steps, residuals, g):
+def _bwd(f, solver, rtol, atol, substeps, max_steps, first_step, residuals,
+         g):
+    # first_step tunes the FORWARD segment solves; the adjoint intervals
+    # integrate backward over one observation interval each and keep the
+    # init heuristic.
+    del first_step
     params, xs, ts = residuals
     num_t = ts.shape[0]
 

@@ -90,8 +90,8 @@ def _midpoint_step(f, t, x, dt):
     return x + dt * k2, 2
 
 
-def _rk4_step(f, t, x, dt):
-    k1 = f(t, x)
+def _rk4_step(f, t, x, dt, k1=None):
+    k1 = f(t, x) if k1 is None else k1  # callers with f(t,x) in hand reuse it
     k2 = f(t + 0.5 * dt, x + 0.5 * dt * k1)
     k3 = f(t + 0.5 * dt, x + 0.5 * dt * k2)
     k4 = f(t + dt, x + dt * k3)
@@ -164,8 +164,9 @@ def odeint_adams_moulton(f: Callable, x0: jax.Array, ts: jax.Array, *,
         t = t0
         for i in range(substeps):
             if i < 3:
-                hist.insert(0, f(t, x))
-                x, _ = _rk4_step(f, t, x, h)
+                f0 = f(t, x)
+                hist.insert(0, f0)
+                x, _ = _rk4_step(f, t, x, h, k1=f0)
             else:
                 hist.insert(0, f(t, x))
                 pred = x + h * sum(b * fk for b, fk in zip(ab4, hist[:4]))
@@ -179,7 +180,7 @@ def odeint_adams_moulton(f: Callable, x0: jax.Array, ts: jax.Array, *,
 
     _, xs = jax.lax.scan(interval, x0, (ts[:-1], ts[1:]))
     xs = jnp.concatenate([x0[None], xs], axis=0)
-    per_interval = (5 * min(3, substeps)
+    per_interval = (4 * min(3, substeps)
                     + max(0, substeps - 3) * (1 + corrector_iters))
     total = (ts.shape[0] - 1) * per_interval
     steps = jnp.asarray((ts.shape[0] - 1) * substeps)
@@ -232,8 +233,7 @@ def odeint_bdf(f: Callable, x0: jax.Array, ts: jax.Array, *,
     not compose with the Pallas rhs custom_vjp). Everything is a static unroll inside one
     `lax.scan` over intervals; reverse-mode differentiable end to end.
     """
-    def interval(carry, t_pair):
-        x, _ = carry
+    def interval(x, t_pair):
         t0, t1 = t_pair
         h = (t1 - t0) / substeps
         t = t0
@@ -251,9 +251,9 @@ def odeint_bdf(f: Callable, x0: jax.Array, ts: jax.Array, *,
                                               2.0 * h / 3.0, newton_iters)
             x_prev, x = x, x_new
             t = t + h
-        return (x, x_prev), x
+        return x, x
 
-    (_, _), xs = jax.lax.scan(interval, (x0, x0), (ts[:-1], ts[1:]))
+    _, xs = jax.lax.scan(interval, x0, (ts[:-1], ts[1:]))
     xs = jnp.concatenate([x0[None], xs], axis=0)
     d = x0.shape[-1]
     # per implicit sub-step: predictor eval (first only) + newton_iters * (1
@@ -287,8 +287,9 @@ def odeint_adams(f: Callable, x0: jax.Array, ts: jax.Array, *,
         t = t0
         for i in range(substeps):
             if i < 3:
-                hist.insert(0, f(t, x))
-                x, _ = _rk4_step(f, t, x, h)
+                f0 = f(t, x)
+                hist.insert(0, f0)
+                x, _ = _rk4_step(f, t, x, h, k1=f0)
             else:
                 hist.insert(0, f(t, x))
                 x = x + h * sum(b * fk for b, fk in zip(ab4, hist[:4]))
@@ -297,7 +298,7 @@ def odeint_adams(f: Callable, x0: jax.Array, ts: jax.Array, *,
 
     _, xs = jax.lax.scan(interval, x0, (ts[:-1], ts[1:]))
     xs = jnp.concatenate([x0[None], xs], axis=0)
-    per_interval = 5 * min(3, substeps) + max(0, substeps - 3)
+    per_interval = 4 * min(3, substeps) + max(0, substeps - 3)
     total = (ts.shape[0] - 1) * per_interval
     stats = ODEStats(num_rhs_evals=jnp.asarray(total),
                      num_accepted=jnp.asarray((ts.shape[0] - 1) * substeps),
@@ -424,12 +425,14 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         nfe0 = 1  # f0 only (FSAL seed)
 
     num_t = ts.shape[0]
-    out0 = jnp.zeros((num_t,) + x0.shape, dtype=x0.dtype)
-    out0 = out0.at[0].set(x0)
     covered0 = taus <= 0.0                             # obs times already emitted
 
     # Broadcast helpers: state may be any rank; masks enter at axis 0 of obs.
     obs_shape = (num_t,) + (1,) * x0.ndim
+    # every pre-covered slot (including duplicated initial timestamps) emits
+    # x0 — torchdiffeq returns x0 for times at/before t0
+    out0 = jnp.where(covered0.reshape(obs_shape), x0[None],
+                     jnp.zeros((num_t,) + x0.shape, dtype=x0.dtype))
 
     def attempt(carry):
         """One real step attempt; only runs while tau < tau_final."""

@@ -22,9 +22,10 @@ to the full array — the Mosaic lowering requirement — and loads x once per
 tile for all output dims). Small parameter tensors (Z, inv-lengthscales,
 omega, phases, weights, nu) replicate into VMEM whole.
 
-Both kernels expose custom VJPs whose backward recomputes through the jnp
-reference path, so they are drop-in for training; the forward (the larger
-share of solver cost under autodiff-through-solver) takes the fused path.
+All kernels expose custom VJPs whose backward is ALSO a fused kernel
+(`_rhs_vjp_tile` recomputes phi/gram in VMEM and emits all eight cotangents
+per tile), so forward and backward both stay off HBM; `_rhs_reference_jnp`
+remains as the test oracle only.
 """
 
 from __future__ import annotations
@@ -52,8 +53,10 @@ def _auto_tile(requested: int, n: int, est_floats_per_row: int) -> int:
     count scales with D). Calibrated against compiler failures: the scale
     config's backward (D=5, S=256, M=256) allocated 17.03 MiB at tile 512."""
     tile = min(requested, max(8, n))
+    tile -= tile % 8          # Mosaic: second-to-minor block dim 8-aligned
     while tile > 8 and est_floats_per_row * tile * 4 > _VMEM_BUDGET_BYTES:
         tile //= 2
+        tile -= tile % 8
     return max(tile, 8)
 
 
@@ -426,8 +429,8 @@ def fused_rhs(x, z, lengthscales, variance, omega, phase, weights, nu,
     """Fused dimwise ODE right-hand side: (N, Din) -> (N, D).
 
     Constrained parameters enter CONSTRAINED (lengthscales/variance, not raw).
-    Differentiable: forward runs the Pallas kernel, backward recomputes
-    through the jnp reference path.
+    Differentiable: forward AND backward run fused Pallas kernels (the VJP
+    recomputes phi/gram in VMEM; see `_fused_rhs_bwd_kernel`).
     """
     return _fused_rhs_forward(x, z, lengthscales, variance, omega, phase,
                               weights, nu, tile_n=tile_n, interpret=interpret)

@@ -285,3 +285,15 @@ def test_first_step_still_adapts_when_too_coarse():
     np.testing.assert_allclose(np.asarray(xs)[:, 0], want, atol=5e-3)
     assert int(stats.num_accepted) < int(stats.num_attempted)  # rejections
     assert int(stats.num_covered) == 25
+
+
+def test_dopri5_duplicate_initial_time_returns_x0():
+    # torchdiffeq returns x0 for observation times at/before t0
+    f = lambda t, x: -x
+    ts = jnp.asarray([0.0, 0.0, 1.0])
+    x0 = jnp.ones((2, 2))
+    xs, stats = odeint_dopri5(f, x0, ts, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0))
+    np.testing.assert_allclose(np.asarray(xs[1]), np.asarray(x0))
+    np.testing.assert_allclose(np.asarray(xs[2]),
+                               np.exp(-1.0) * np.ones((2, 2)), rtol=1e-4)

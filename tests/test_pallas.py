@@ -190,3 +190,41 @@ def test_fused_dopri5_attempt_gradients_match_reference():
     for name, a, b in zip(names, g_pallas, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-5, err_msg=name)
+
+
+def test_fused_rhs_respects_reference_rff_scale():
+    # the kernels hardcode the canonical sqrt(2 var/S); under the
+    # reference-compat scale the convention folds into the weights
+    # (gp.kernel_rff_weights) — the kernel result must equal the XLA
+    # eval_draw path in BOTH conventions.
+    from gpode_tpu.models.gp import (kernel_rff_weights,
+                                     set_rff_reference_scale)
+    x, z, ls, var, omega, phase, w, nu = _setup(n=40, din=4, d=4)
+
+    class P:  # minimal params stand-in for _rhs_reference-style math
+        pass
+
+    for ref_mode in (False, True):
+        set_rff_reference_scale(ref_mode)
+        try:
+            import gpode_tpu.models.gp as gpm
+            factor = gpm._RFF_SCALE_FACTOR
+            # XLA-convention result at this factor
+            s = w.shape[0]
+            xo = jnp.einsum("nd,dfk->nfk", x, omega)
+            phi = jnp.cos(xo + phase) * jnp.sqrt(factor * var / s)
+            f_prior = jnp.einsum("nfk,fk->nk", phi, w)
+            want = f_prior + jnp.einsum(
+                "dm,dnm->nd", nu,
+                var[:, None, None] * jnp.exp(-0.5 * (
+                    jnp.sum((x[None] / ls[:, None])**2, -1)[:, :, None]
+                    + jnp.sum((z[None] / ls[:, None])**2, -1)[:, None, :]
+                    - 2 * jnp.einsum("dnk,dmk->dnm", x[None] / ls[:, None],
+                                     z[None] / ls[:, None]))))
+            got = fused_rhs(x, z, ls, var, omega, phase,
+                            kernel_rff_weights(w), nu, 32, _INTERP)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"ref_mode={ref_mode}")
+        finally:
+            set_rff_reference_scale(False)
