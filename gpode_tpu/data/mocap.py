@@ -53,8 +53,11 @@ class PCA:
         self.mean_ = x.mean(axis=0)
         xc = x - self.mean_
         _, _, vt = np.linalg.svd(xc, full_matrices=False)
-        # sign convention: largest-|value| entry of each component positive
-        # (sklearn's svd_flip), so latents match the reference pipeline
+        # sklearn's svd_flip with u_based_decision=False — what
+        # sklearn.decomposition.PCA applies (all solvers since v1.5): the
+        # largest-|value| entry of each ROW of Vt decides the sign, so
+        # latents match the reference's sklearn pipeline exactly, not just
+        # up to sign (pinned against sklearn in tests/test_data.py)
         max_idx = np.argmax(np.abs(vt), axis=1)
         signs = np.sign(vt[np.arange(vt.shape[0]), max_idx])
         vt = vt * signs[:, None]

@@ -491,8 +491,17 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
         done = carry[0] >= tau_final
         return jax.lax.cond(done, lambda c: c, attempt, carry), None
 
-    init = (jnp.zeros_like(tau_final), x0, f0, dt0, out0, covered0,
-            jnp.asarray(nfe0), jnp.asarray(0), jnp.asarray(0))
+    # shard_map compatibility: the whole-body budget-skip cond requires both
+    # branches to emit identical types INCLUDING varying-manual-axis
+    # annotations. Carry leaves seeded from constants (tau, dt, counters,
+    # coverage) start unvarying, while `attempt` derives varying values from
+    # the (per-shard) state — so seed them with a varying zero from x0.
+    # Outside shard_map this folds away.
+    vzero = jax.lax.stop_gradient(jnp.sum(x0).astype(x0.dtype) * 0.0)
+    vzero_i = vzero.astype(jnp.int32)
+    init = (jnp.zeros_like(tau_final) + vzero, x0, f0, dt0 + vzero, out0,
+            covered0 | (vzero > 0.0),
+            jnp.asarray(nfe0) + vzero_i, vzero_i, vzero_i)
     (tau, x, k1, dt, out, covered, nfe, nacc, natt), _ = jax.lax.scan(
         body, init, None, length=max_steps)
 

@@ -59,11 +59,16 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
     Returns a replicated (loss, ShootingELBOTerms).
     """
     cfg = args.solver_config()
-    dp = mesh.shape.get("dp", 1)
-    mc = mesh.shape.get("mc", 1)
+    if "dp" in mesh.axis_names:
+        dp = mesh.shape["dp"]
+    else:
+        raise ValueError("mesh must carry a 'dp' axis (sequences shard over it)")
+    has_mc = "mc" in mesh.axis_names
+    mc = mesh.shape["mc"] if has_mc else 1
     if args.num_samples % mc:
         raise ValueError(f"num_samples={args.num_samples} not divisible by mc={mc}")
     s_local = args.num_samples // mc
+    axes = ("dp", "mc") if has_mc else ("dp",)
 
     def loss(params: ShootingParams, key, ys, ts):
         n_total, t_obs, _ = ys.shape
@@ -77,9 +82,11 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
                  out_specs=P())
         def sharded(params, key, ys_local, ts):
             di = jax.lax.axis_index("dp")
-            mi = jax.lax.axis_index("mc")
             k_draw, k_ss = jax.random.split(key)
-            k_local = jax.random.fold_in(jax.random.fold_in(k_ss, di), mi)
+            k_local = jax.random.fold_in(k_ss, di)
+            if has_mc:
+                k_local = jax.random.fold_in(k_local,
+                                             jax.lax.axis_index("mc"))
 
             n_lo = di * n_local
             ss = _sample_local_states(k_local, params.states, n_lo,
@@ -91,12 +98,12 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
 
             # local sums -> global means via psum over both axes
             lp = likelihood_log_prob(params.likelihood, pred, ys_local[None])
-            obs_sum = jax.lax.psum(jnp.sum(lp), ("dp", "mc"))
+            obs_sum = jax.lax.psum(jnp.sum(lp), axes)
             observ_loglik = obs_sum / (args.num_samples * num_obs)
 
             constr = constraint_log_prob(params.constraint, ss[:, :, 1:, :],
                                          pred[:, :, :-1, :]).sum(axis=3)
-            constr_sum = jax.lax.psum(jnp.sum(constr), ("dp", "mc"))
+            constr_sum = jax.lax.psum(jnp.sum(constr), axes)
             scaled_constr = constr_sum / (args.num_samples * num_obs)
 
             # entropy/KLs depend only on (replicated) params: no collective
@@ -105,11 +112,16 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
             ind_kl = gp.kl(params.gp) / num_obs
 
             loss = -(observ_loglik + scaled_constr + entropy - x0_kl - ind_kl)
+            # solver stats are per-shard (each device integrates its own
+            # segment block); reduce to replicated diagnostics — worst-shard
+            # budget use, worst-shard coverage
             terms = ShootingELBOTerms(
                 loss=loss, observ_nll=-observ_loglik,
                 state_kl=-(scaled_constr + entropy), x0_kl=x0_kl,
-                inducing_kl=ind_kl, nfe=stats.num_rhs_evals,
-                natt=stats.num_attempted, ncov=stats.num_covered)
+                inducing_kl=ind_kl,
+                nfe=jax.lax.pmax(stats.num_rhs_evals, axes),
+                natt=jax.lax.pmax(stats.num_attempted, axes),
+                ncov=jax.lax.pmin(stats.num_covered, axes))
             return loss, terms
 
         return sharded(params, key, ys, ts)
@@ -118,9 +130,12 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
 
 
 def make_shard_map_shooting_step(mesh: Mesh, args: ModelArgs,
-                                 optimizer: optax.GradientTransformation):
+                                 optimizer: optax.GradientTransformation,
+                                 frozen_mask=None):
     """Jitted train step over the shard_map loss (params replicated, ys
-    sharded over `dp`)."""
+    sharded over `dp`). `frozen_mask` zeroes gradients of frozen leaves,
+    matching the GSPMD step and the Trainer (constraint scale frozen by
+    default)."""
     loss_fn = make_shard_map_shooting_loss(mesh, args)
     rep = NamedSharding(mesh, P())
     data_shard = NamedSharding(mesh, P("dp"))
@@ -131,6 +146,10 @@ def make_shard_map_shooting_step(mesh: Mesh, args: ModelArgs,
         key, sub = jax.random.split(key)
         (_, terms), grads = jax.value_and_grad(
             lambda p: loss_fn(p, sub, ys, ts), has_aux=True)(params)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads,
+                frozen_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, terms

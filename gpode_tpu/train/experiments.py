@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +101,14 @@ class ExperimentArgs:
             constraint_type=self.constraint_type,
             constraint_trainable=self.constraint_trainable,
             constraint_initial_scale=self.constraint_initial_scale)
+
+
+def _eval_cfg(cfg):
+    """Whole-trajectory evaluation config: budget sized for the full horizon
+    and the init-step heuristic restored (a whole-span first attempt is only
+    right for one-interval training segments)."""
+    return dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
+                               first_step=None)
 
 
 def _shooting_margs(margs: ModelArgs, shooting_variant: bool) -> ModelArgs:
@@ -204,13 +213,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
 
     margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
-    # Evaluation integrates whole (extrapolated) trajectories; give the
-    # adaptive solver a budget sized for the full horizon regardless of the
-    # (much smaller) budget the shooting training interval needs, and keep
-    # the init-step heuristic (a whole-span first attempt is only right for
-    # one-interval training segments).
-    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
-                                   first_step=None)
+    eval_cfg = _eval_cfg(cfg)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
@@ -257,10 +260,11 @@ def run_2d(args: ExperimentArgs, data, name: str,
                                   lr_schedule=args.lr_schedule,
                                   grad_clip=args.grad_clip,
                                   log_freq=args.log_freq,
+                                  warmup_iters=min(100, args.num_iter // 10),
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
-    params, opt_state, _ = trainer.train(params, key0 if key0 is not None else k_train,
+    params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
                                          jnp.asarray(data.trn.ys),
                                          jnp.asarray(data.trn.ts),
                                          start_iter=start_iter,
@@ -270,7 +274,7 @@ def run_2d(args: ExperimentArgs, data, name: str,
     save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
-                     "key": k_train, "step": args.num_iter})
+                     "key": key_end, "step": args.num_iter})
 
     train_pred, test_pred, metrics = _eval_and_log(
         logger, data, params, margs, eval_cfg, k_eval, shooting_variant,
@@ -320,8 +324,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
 
     margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
-    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
-                                   first_step=None)
+    eval_cfg = _eval_cfg(cfg)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
 
@@ -425,7 +428,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"),
                       callback=val_callback, callback_every=args.val_freq)
-    params, opt_state, _ = trainer.train(params, key0 if key0 is not None else k_train,
+    params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
                                          jnp.asarray(data_full.trn.ys),
                                          jnp.asarray(data_pca.trn.ts),
                                          start_iter=start_iter,
@@ -436,7 +439,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                extra=val_meters)
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
-                     "key": k_train, "step": args.num_iter})
+                     "key": key_end, "step": args.num_iter})
 
     # evaluation from observed first latent states (`train_mocap_gpode.py:187-218`)
     x0_post = params.states.x0 if shooting_variant else params.x0
@@ -517,7 +520,7 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
 
     margs = args.model_args()
     cfg = margs.solver_config()
-    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps))
+    eval_cfg = _eval_cfg(cfg)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
@@ -559,10 +562,11 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   log_freq=args.log_freq,
+                                  warmup_iters=min(100, args.num_iter // 10),
                                   checkpoint_every=args.checkpoint_every),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
-    params, opt_state, _ = trainer.train(
+    params, opt_state, key_end = trainer.train(
         params, key0 if key0 is not None else k_train,
         jnp.asarray(train_ys), jnp.asarray(train_ts),
         start_iter=start_iter, opt_state=opt_state0)
@@ -571,7 +575,7 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
     save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
     save_checkpoint(os.path.join(args.save, "checkpt.npz"),
                     {"params": params, "opt_state": opt_state,
-                     "key": k_train, "step": args.num_iter})
+                     "key": key_end, "step": args.num_iter})
 
     # predict on the full grid from the optimized x0 posterior; score the
     # held-out interpolation window

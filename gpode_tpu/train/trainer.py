@@ -198,11 +198,12 @@ class Trainer:
                 # copy_to_host_async per 64 steps; the block is harvested a
                 # window later (or at the next sync point) so the hot loop
                 # never waits on a host round trip.
-                if len(pending) >= 64 and itr % cfg.log_freq != 0:
+                log_now = cfg.log_freq > 0 and itr % cfg.log_freq == 0
+                if len(pending) >= 64 and not log_now:
                     begin = self._flush_window(pending, begin,
                                                cfg.warmup_iters)
 
-                if itr % cfg.log_freq == 0:
+                if log_now:
                     begin = self._drain(pending, begin, cfg.warmup_iters)
                     if itr > cfg.warmup_iters:
                         parts = [

@@ -23,8 +23,13 @@ def save_checkpoint(path: str, state: Any):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **{f"leaf_{i}": leaf for i, leaf in enumerate(host_leaves)})
-    with open(path + ".treedef", "wb") as f:
+    # both halves land atomically: a crash between the two os.replace calls
+    # leaves (old npz, old treedef) or (old npz, new treedef-of-same-
+    # structure) — never a truncated file next to a mismatched partner
+    tmp_td = path + ".treedef.tmp"
+    with open(tmp_td, "wb") as f:
         pickle.dump(treedef, f)
+    os.replace(tmp_td, path + ".treedef")
     os.replace(tmp, path)
 
 

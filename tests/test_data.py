@@ -89,3 +89,21 @@ def test_mocap_subjects_35_39_load():
 def test_bad_subject_rejected():
     with pytest.raises(ValueError):
         MocapDataset(data_path="data/mocap", subject="99")
+
+
+def test_host_pca_matches_sklearn_exactly():
+    # incl. the U-based svd_flip sign convention sklearn's PCA applies —
+    # latents must match the reference pipeline exactly, not just up to sign
+    sklearn = pytest.importorskip("sklearn.decomposition")
+    from gpode_tpu.data.mocap import PCA
+    rng = np.random.RandomState(3)
+    x = rng.randn(40, 12) @ rng.randn(12, 12)  # correlated features
+    ours = PCA(5)
+    z_ours = ours.fit_transform(x)
+    ref = sklearn.PCA(n_components=5, svd_solver="full")
+    z_ref = ref.fit_transform(x)
+    np.testing.assert_allclose(ours.components_, ref.components_,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(z_ours, z_ref, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(ours.transform(x[:7]), ref.transform(x[:7]),
+                               rtol=1e-7, atol=1e-9)
