@@ -27,7 +27,9 @@ import time
 
 
 def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
-                          scale: bool = False, fast: bool = False) -> dict:
+                          scale: bool = False, fast: bool = False,
+                          mesh_spec: str | None = None,
+                          parallel: str = "shard_map") -> dict:
     import jax
     cache_dir = os.environ.get("GPODE_TPU_JAX_CACHE",
                                os.path.expanduser("~/.cache/gpode_tpu_jax"))
@@ -82,9 +84,29 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
 
     loss_fn = shooting_loss_fn(args)
     opt = optax.adam(5e-3)
-    step = make_train_step(loss_fn, opt)
-    opt_state = opt.init(params)
     key = jax.random.PRNGKey(1)
+    if mesh_spec:
+        # --mesh dp=2,mc=4: the sharded train step (sequences over dp, MC
+        # samples over mc, params/opt-state replicated) — same step the
+        # training drivers run with --mesh.
+        from gpode_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+        from gpode_tpu.parallel.shard_map_step import make_shard_map_shooting_step
+        from gpode_tpu.parallel.train import (device_put_batch,
+                                              device_put_replicated,
+                                              make_sharded_shooting_step)
+        mesh = make_mesh(parse_mesh_spec(mesh_spec))
+        make = (make_sharded_shooting_step if parallel == "gspmd"
+                else make_shard_map_shooting_step)
+        step = make(mesh, args, opt)
+        opt_state = device_put_replicated(opt.init(params), mesh)
+        params = device_put_replicated(params, mesh)
+        key = device_put_replicated(key, mesh)
+        ys = (device_put_batch(ys, mesh) if "dp" in mesh.axis_names
+              else device_put_replicated(ys, mesh))
+        ts = device_put_replicated(ts, mesh)
+    else:
+        step = make_train_step(loss_fn, opt)
+        opt_state = opt.init(params)
 
     # warmup: compile + settle (host fetch = hard sync; block_until_ready is
     # not a reliable barrier through the axon tunnel)
@@ -92,13 +114,19 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
         params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
     float(terms.loss)
 
-    begin = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
-    final_loss = float(terms.loss)  # forces completion of the whole chain
-    elapsed = time.perf_counter() - begin
-
-    steps_per_sec = iters / elapsed
+    # Median of 3 timing windows (each synced by a scalar fetch): robust to
+    # the one-core host's contention spikes, which made single-window
+    # baseline measurements swing +-50% between rounds (BENCH_r01 vs r02).
+    window = max(1, iters // 3)
+    window_times = []
+    final_loss = None
+    for _ in range(3):
+        begin = time.perf_counter()
+        for _ in range(window):
+            params, opt_state, key, terms = step(params, opt_state, key, ys, ts)
+        final_loss = float(terms.loss)  # forces completion of the chain
+        window_times.append(time.perf_counter() - begin)
+    steps_per_sec = window / sorted(window_times)[1]
     nfe = int(terms.nfe)
     # rhs batch = num_samples * N * T segments integrated per step
     segments = args.num_samples * ys.shape[0] * ys.shape[1]
@@ -120,6 +148,10 @@ def main():
                         help="graded config 5: 256 inducing, 32 MC paths")
     parser.add_argument("--fast", action="store_true",
                         help="rk4 fast path (same losses on the MoCap grid)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh for the sharded step, e.g. 'dp=2,mc=4'")
+    parser.add_argument("--parallel", type=str, default="shard_map",
+                        choices=("shard_map", "gspmd"))
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--json-only", action="store_true")
     cli = parser.parse_args()
@@ -129,16 +161,19 @@ def main():
         jax.config.update("jax_platforms", cli.platform)
 
     result = measure_steps_per_sec(iters=cli.iters, scale=cli.scale,
-                                   fast=cli.fast)
+                                   fast=cli.fast, mesh_spec=cli.mesh,
+                                   parallel=cli.parallel)
 
     vs_baseline = 1.0
     cpu_steps = None
     if not cli.no_baseline and result["platform"] != "cpu":
-        # measure the CPU baseline in a subprocess (fresh backend)
+        # measure the CPU baseline in a subprocess (fresh backend); 9 iters =
+        # 3 median-filtered windows of 3 (the 5-iter single window of rounds
+        # 1-2 swung +-50% under host contention)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--platform", "cpu",
-                 "--iters", "5", "--no-baseline", "--json-only"]
+                 "--iters", "9", "--no-baseline", "--json-only"]
                 + (["--scale"] if cli.scale else [])
                 + (["--fast"] if cli.fast else []),
                 capture_output=True, text=True, timeout=1800, check=True)
@@ -160,6 +195,9 @@ def main():
         "cpu_baseline_steps_per_sec": cpu_steps,
         "final_loss": round(result["loss"], 4),
     }
+    if cli.mesh:
+        payload["mesh"] = cli.mesh
+        payload["parallel"] = cli.parallel
     print(json.dumps(payload))
 
 

@@ -151,9 +151,18 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
             return x5, st
 
         def _fallback():
+            # Seed the scan with the controller-shrunk dt (the same
+            # safety * err^(-1/5) rule as the in-scan controller, capped at
+            # 1 since this is a rejection): re-attempting the identical
+            # whole-span step would deterministically re-reject, wasting 6
+            # rhs evaluations per rejected segment solve.
+            from gpode_tpu.ops.ode import _DFACTOR, _ORDER, _SAFETY
+            dt_shrunk = dt * jnp.clip(
+                _SAFETY * (err_ratio + 1e-30) ** (-1.0 / _ORDER),
+                _DFACTOR, 1.0)
             xs, st = odeint(rhs, x0, ts, solver="dopri5", rtol=cfg.rtol,
                             atol=cfg.atol, max_steps=cfg.max_steps,
-                            first_step=cfg.first_step)
+                            first_step=jax.lax.stop_gradient(dt_shrunk))
             # the rejected attempt's 7 kernel evaluations still happened
             return xs[-1], ODEStats(
                 jnp.asarray(st.num_rhs_evals + 7, jnp.int32),

@@ -49,6 +49,11 @@ class ELBOTerms(NamedTuple):
     x0_kl: jax.Array
     inducing_kl: jax.Array
     nfe: jax.Array
+    # Adaptive-solver health (cf. ShootingELBOTerms): attempted steps and
+    # observation-time coverage — ncov < T+1 means the budget-exhaustion
+    # fallback fired and the uncovered tail froze at the final state.
+    natt: jax.Array
+    ncov: jax.Array
 
 
 def elbo_loss(key: jax.Array, params: GPODEParams, ys: jax.Array,
@@ -86,7 +91,8 @@ def elbo_loss(key: jax.Array, params: GPODEParams, ys: jax.Array,
 
     loss = -(loglik - x0_kl - ind_kl)
     return loss, ELBOTerms(loss=loss, observ_nll=-loglik, x0_kl=x0_kl,
-                           inducing_kl=ind_kl, nfe=stats.num_rhs_evals)
+                           inducing_kl=ind_kl, nfe=stats.num_rhs_evals,
+                           natt=stats.num_attempted, ncov=stats.num_covered)
 
 
 def predict(key: jax.Array, params: GPODEParams, ts: jax.Array,

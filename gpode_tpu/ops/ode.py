@@ -358,8 +358,15 @@ def _initial_step(f, t0, x0, f0, direction, rtol, atol, norm=_rms):
 
 
 def _hermite(t, t0, t1, x0, f0, x1, f1):
-    """Cubic Hermite interpolant on [t0, t1]; t broadcast against state dims."""
+    """Cubic Hermite interpolant on [t0, t1]; t broadcast against state dims.
+
+    Guards the degenerate h == 0 case (reached only in dead branches: under
+    vmap the budget-skip cond lowers to select and the skipped `attempt`
+    still traces with remaining == 0). With h -> 1 the interpolant stays
+    finite in value AND gradient, so vmap(grad(odeint)) never sees the 0/0
+    that would poison cotangents through the `where` vjp."""
     h = t1 - t0
+    h = jnp.where(h == 0.0, jnp.ones_like(h), h)
     s = (t - t0) / h
     s2, s3 = s * s, s * s * s
     h00 = 2 * s3 - 3 * s2 + 1
@@ -419,8 +426,19 @@ def odeint_dopri5(f: Callable, x0: jax.Array, ts: jax.Array, *,
             _initial_step(f_tau, 0.0, x0, f0, 1.0, rtol, atol, norm))
         nfe0 = 2  # f0 + the heuristic's probe evaluation
     else:
-        dt0 = (tau_final if first_step == FIRST_STEP_SPAN
-               else jnp.asarray(first_step, dtype=x0.dtype))
+        if isinstance(first_step, (int, float)):
+            if first_step <= 0.0 and first_step != FIRST_STEP_SPAN:
+                # a verbatim dt0 <= 0 never advances tau: the budget would
+                # exhaust and outputs silently fall back to constant x0
+                raise ValueError(
+                    f"first_step must be positive or the FIRST_STEP_SPAN "
+                    f"sentinel ({FIRST_STEP_SPAN}); got {first_step}")
+            dt0 = (tau_final if first_step == FIRST_STEP_SPAN
+                   else jnp.asarray(first_step, dtype=x0.dtype))
+        else:
+            # traced initial dt (e.g. the controller-shrunk step seeding the
+            # rejected-megakernel-attempt fallback in models/flow.py)
+            dt0 = jnp.asarray(first_step, dtype=x0.dtype)
         dt0 = jax.lax.stop_gradient(jnp.minimum(dt0, tau_final))
         nfe0 = 1  # f0 only (FSAL seed)
 

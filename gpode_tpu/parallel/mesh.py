@@ -25,6 +25,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """Parse a CLI mesh spec like 'dp=2,mc=4' into ordered {axis: size}.
+
+    One size may be -1 to infer from the device count (`make_mesh`). This is
+    the user-facing entry to multi-chip training: the shooting drivers and
+    bench.py accept `--mesh dp=2,mc=4` and train SPMD over the mesh.
+    """
+    axis_sizes = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ValueError(f"bad mesh spec {spec!r}: expected 'axis=size' "
+                             f"entries separated by commas, got {part!r}")
+        name, _, size = part.partition("=")
+        axis_sizes[name.strip()] = int(size)
+    return axis_sizes
+
+
 def make_mesh(axis_sizes: Optional[dict] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a mesh; default: all devices on one `dp` axis.

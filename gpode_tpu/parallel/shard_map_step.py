@@ -77,7 +77,11 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
         n_local = n_total // dp
         num_obs = ys.size
 
-        @partial(shard_map, mesh=mesh,
+        # check_vma=False: the Pallas megakernels run inside this region on
+        # TPU and a pallas_call's out_shape carries no varying-axis
+        # annotation; out_specs correctness is pinned by the exact value+grad
+        # parity tests in tests/test_sharding.py.
+        @partial(shard_map, mesh=mesh, check_vma=False,
                  in_specs=(P(), P(), P("dp"), P()),
                  out_specs=P())
         def sharded(params, key, ys_local, ts):

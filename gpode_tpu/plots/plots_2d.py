@@ -52,40 +52,147 @@ def plot_longitudinal(data, test_pred: np.ndarray, noise_var: np.ndarray,
     plt.close(fig)
 
 
+def plot_longitudinal_per_sequence(data, test_pred: np.ndarray,
+                                   noise_var: np.ndarray, save_dir: str):
+    """One `plt_longitudinal_{n}.png` per sequence, matching the reference's
+    artifact inventory (`gpode/plots_2d.py:57-90` loops over n): posterior and
+    predictive bands per state dim, true trajectory and train obs overlaid."""
+    pred_mean, pred_var = test_pred.mean(0), test_pred.var(0)
+    d = pred_mean.shape[-1]
+    for n in range(pred_mean.shape[0]):
+        fig, axs = plt.subplots(1, d, figsize=(8 * d, 3), squeeze=False)
+        for dim in range(d):
+            ax = axs[0, dim]
+            m, pv = pred_mean[n, :, dim], pred_var[n, :, dim]
+            sv = np.sqrt(pv + noise_var[dim % len(noise_var)])
+            ax.plot(data.tst.ts, m, c="r", alpha=0.7, zorder=3)
+            ax.fill_between(data.tst.ts, m - 2 * np.sqrt(pv),
+                            m + 2 * np.sqrt(pv), color="r", alpha=0.1,
+                            zorder=1, label="posterior")
+            ax.fill_between(data.tst.ts, m - 2 * sv, m + 2 * sv, color="b",
+                            alpha=0.1, zorder=0, label="predictive")
+            if n < data.tst.ys.shape[0]:
+                ax.plot(data.tst.ts, data.tst.ys[n, :, dim], c="k", alpha=0.7,
+                        zorder=2, label="true trajectory")
+            if n < data.trn.ys.shape[0]:
+                ax.scatter(data.trn.ts, data.trn.ys[n, :, dim], c="k", s=100,
+                           marker=".", zorder=200, label="train obs")
+            ax.set_title(f"State {dim + 1}")
+            ax.set_xlabel("Time")
+        axs[0, -1].legend(loc="upper right", fontsize=8)
+        fig.suptitle("Predictive posterior for GPODE")
+        fig.subplots_adjust(wspace=0.2, hspace=0.2)
+        fig.savefig(os.path.join(save_dir, f"plt_longitudinal_{n}.png"),
+                    dpi=120, bbox_inches="tight", pad_inches=0.2)
+        plt.close(fig)
+
+
 def _grid(data, grid_size=30):
     xx, yy = np.meshgrid(np.linspace(*data.xlim, grid_size),
                          np.linspace(*data.ylim, grid_size))
     return xx, yy, np.stack([xx.reshape(-1), yy.reshape(-1)], axis=1)
 
 
+def _field_draws(key, gp_params, grid: np.ndarray, num_draws: int,
+                 num_features: int) -> np.ndarray:
+    """Sampled vector fields on a grid: (S, G, D) — one `vmap` over posterior
+    draws in place of the reference's 100-iteration `build_cache` loop
+    (`gpode/plots_2d.py:126-131`)."""
+    import jax
+
+    chol = gp_mod.precompute_chol(gp_params)
+    gx = jnp.asarray(grid, dtype=jnp.float32)
+
+    def one(k):
+        draw = gp_mod.draw_posterior(k, gp_params, num_features, chol)
+        return gp_mod.eval_draw(gp_params, draw, gx, use_pallas=False)
+
+    return np.asarray(jax.vmap(one)(jax.random.split(key, num_draws)))
+
+
 def plot_vectorfield(gp_params, data, test_pred: np.ndarray, save_dir: str,
-                     fname: str = "plt_vectorfield.png", grid_size: int = 30):
-    """Learned posterior-mean field vs ground truth with posterior-std
-    contours and predicted trajectories (`gpode/plots_2d.py:93-194`)."""
+                     fname: str = "plt_vectorfield.png", grid_size: int = 30,
+                     key=None, num_features: int = 256):
+    """The reference's flagship 3-panel diagnostic (`gpode/plots_2d.py:93-194`);
+    see :func:`vectorfield_3panel_figure`."""
+    fig = vectorfield_3panel_figure(gp_params, data, test_pred,
+                                    grid_size=grid_size, key=key,
+                                    num_features=num_features)
+    fig.savefig(os.path.join(save_dir, fname), dpi=120,
+                bbox_inches="tight", pad_inches=0.01)
+    plt.close(fig)
+
+
+def vectorfield_3panel_figure(gp_params, data, test_pred: np.ndarray,
+                              grid_size: int = 30, key=None,
+                              num_features: int = 256):
+    """Build the 3-panel vectorfield figure (`gpode/plots_2d.py:93-194` and
+    the notebook variant `misc/plot_utils.py:92-190`):
+    (1) true field streamplot with training observations, (2) learned
+    draw-mean field with log draw-std contours, (3) 10 per-draw quiver fields
+    colored by pointwise draw-std + predictive sample trajectories + the true
+    test trajectory."""
+    import jax
+
+    key = jax.random.PRNGKey(0) if key is None else key
     xx, yy, grid = _grid(data, grid_size)
-    mean, var = gp_mod.conditional(gp_params, jnp.asarray(grid, dtype=jnp.float32))
-    mean = np.asarray(mean)
-    std = np.sqrt(np.maximum(np.asarray(var), 0.0)).sum(-1)
+    field = _field_draws(key, gp_params, grid, 100, num_features)  # (S, G, 2)
+    mean, std = field.mean(0), field.std(0)
 
     true_field = np.stack([data.f(g) for g in grid])
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 5), sharex=True, sharey=True)
+    fig, (ax1, ax2, ax3) = plt.subplots(
+        1, 3, figsize=(21, 7), sharex="all", sharey="all",
+        gridspec_kw={"width_ratios": [1, 1.25, 1]})
+
     ax1.streamplot(xx, yy, true_field[:, 0].reshape(xx.shape),
                    true_field[:, 1].reshape(xx.shape), color="grey")
-    ax1.set_title("True vector field")
-    cs = ax2.contourf(xx, yy, std.reshape(xx.shape), levels=12,
-                      cmap="Blues", alpha=0.6)
-    fig.colorbar(cs, ax=ax2, label="posterior std (sum over dims)")
+    ax1.scatter(data.trn.ys[:, :, 0], data.trn.ys[:, :, 1], marker=".",
+                c="k", alpha=0.8, s=200)
+    ax1.scatter([], [], marker=".", c="k", s=200, label="Training obs")
+    ax1.set_title("True vectorfield")
+    ax1.legend(loc="lower right")
+
     ax2.streamplot(xx, yy, mean[:, 0].reshape(xx.shape),
-                   mean[:, 1].reshape(xx.shape), color="k", density=1.0)
-    for s in range(min(8, test_pred.shape[0])):
-        ax2.plot(test_pred[s, 0, :, 0], test_pred[s, 0, :, 1],
-                 color="tab:red", alpha=0.3, lw=0.8)
-    ax2.scatter(data.trn.ys[:, :, 0], data.trn.ys[:, :, 1], c="k", s=6)
-    ax2.set_title("Learned posterior mean field")
-    fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+                   mean[:, 1].reshape(xx.shape), color="k")
+    cs2 = ax2.contourf(xx, yy, np.log(std.mean(1) + 1e-12).reshape(xx.shape),
+                       levels=10, cmap="bwr", alpha=0.6)
+    fig.colorbar(cs2, ax=ax2, shrink=0.9)
+    ax2.locator_params(nbins=4)
+    ax2.set_title("Learned vectorfield")
+
+    # panel 3: per-draw quiver samples on a coarse grid, colored by the
+    # pointwise std across draws (`gpode/plots_2d.py:146-189`)
+    qxx, qyy, qgrid = _grid(data, 12)
+    qfield = _field_draws(jax.random.fold_in(key, 1), gp_params, qgrid, 100,
+                          num_features)                            # (S, G, 2)
+    qstd = qfield.std(0).mean(1)
+    for s in range(10):
+        ax3.quiver(qxx, qyy, qfield[s, :, 0].reshape(qxx.shape),
+                   qfield[s, :, 1].reshape(qxx.shape), qstd,
+                   units="x", width=0.022, scale=1 / 0.15, zorder=2,
+                   alpha=0.8, cmap="bwr")
+    for s in range(min(test_pred.shape[0], 10)):
+        for n in range(test_pred.shape[1]):
+            ax3.plot(test_pred[s, n, :, 0], test_pred[s, n, :, 1],
+                     color="g", alpha=0.3, lw=2.5, zorder=3)
+    for n in range(data.tst.ys.shape[0]):
+        ax3.plot(data.tst.ys[n, :, 0], data.tst.ys[n, :, 1], color="k",
+                 lw=0.5, alpha=1.0, zorder=4)
+    ax3.scatter(data.tst.ys[:, :, 0], data.tst.ys[:, :, 1], s=50, marker=".",
+                c="k", alpha=0.9, zorder=4)
+    ax3.plot([], [], color="g", alpha=0.7, label="predictive samples")
+    ax3.plot([], [], color="k", marker=".", alpha=0.7, label="true trajectory")
+    ax3.scatter([], [], c="k", marker=r"$\longrightarrow$", s=200,
+                label="vectorfield samples")
+    ax3.legend(loc="lower left")
+    ax3.set_title("Predictive samples")
+
+    for ax in (ax1, ax2, ax3):
+        ax.set_xlim(*data.xlim)
+        ax.set_ylim(*data.ylim)
+    fig.subplots_adjust(wspace=0.2, hspace=0.2)
+    return fig
 
 
 def unwhiten_inducing(gp_params) -> tuple[np.ndarray, np.ndarray]:

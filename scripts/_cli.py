@@ -71,6 +71,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Output directory")
     p.add_argument("--seed", type=int, default=121, help="Global seed")
     p.add_argument("--log_freq", type=int, default=10, help="Logging frequency")
+    p.add_argument("--checkpoint_every", type=int, default=1000,
+                   help="Periodic checkpoint cadence in iterations (0 = only "
+                        "the final checkpoint)")
     p.add_argument("--no_plots", action="store_true", help="Skip diagnostics plots")
     p.add_argument("--resume", action="store_true",
                    help="Resume from <save>/checkpt.npz if present")
@@ -102,12 +105,30 @@ def add_mocap_flags(p: argparse.ArgumentParser):
 
 
 def add_shooting_flags(p: argparse.ArgumentParser):
+    p.add_argument("--mesh", type=str, default=None,
+                   help="Multi-chip device mesh, e.g. 'dp=2,mc=4' (sequences "
+                        "shard over dp, MC samples over mc; one size may be "
+                        "-1 to infer from the device count). Omit for "
+                        "single-device training.")
+    p.add_argument("--parallel", type=str, default="shard_map",
+                   choices=("shard_map", "gspmd"),
+                   help="Sharded-step style with --mesh: explicit collectives "
+                        "(shard_map, keeps Pallas kernels per-shard) or "
+                        "GSPMD sharding annotations")
     p.add_argument("--constraint_type", type=str, default="gauss",
                    choices=CONSTRAINTS, help="Shooting-constraint density")
     p.add_argument("--constraint_trainable", type=_str2bool, default=False,
                    help="Learn the constraint scale")
     p.add_argument("--constraint_initial_scale", type=float, default=1e-3,
                    help="Constraint scale init")
+    p.add_argument("--constraint_anneal_iters", type=int, default=0,
+                   help="Anneal the constraint scale geometrically from "
+                        "--constraint_anneal_start down to "
+                        "--constraint_initial_scale over this many iterations "
+                        "(0 = off, the reference's frozen-scale behavior); "
+                        "stabilizes seed-dependent shooting convergence")
+    p.add_argument("--constraint_anneal_start", type=float, default=0.1,
+                   help="Initial (loose) constraint scale when annealing")
     p.add_argument("--num_samples", type=int, default=5,
                    help="Reparameterized MC samples per gradient step")
 

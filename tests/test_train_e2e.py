@@ -101,6 +101,75 @@ def test_vdp_shooting_end_to_end_with_trainer():
     assert not trainer._inflight
 
 
+def test_constraint_annealing_schedule():
+    """Annealed loss must interpolate the constraint scale geometrically:
+    loose at iter 0 (0.1), exactly the configured final scale once the
+    horizon is reached, and trainable through the Trainer's device-side
+    iteration counter."""
+    data = _vdp(s_train=10)
+    ys, ts = jnp.asarray(data.trn.ys), jnp.asarray(data.trn.ts)
+    kwargs = dict(num_inducing=8, num_features=16, solver="rk4",
+                  ts_dense_scale=3, max_steps=16, num_samples=2,
+                  constraint_initial_scale=1e-3)
+    args_anneal = ModelArgs(**kwargs, constraint_anneal_iters=100,
+                            constraint_anneal_start=0.1)
+    args_flat = ModelArgs(**kwargs)
+    params = build_shooting(jax.random.PRNGKey(0), args_anneal, data.trn.ys)
+    key = jax.random.PRNGKey(3)
+
+    annealed = shooting_loss_fn(args_anneal)
+    flat = shooting_loss_fn(args_flat)
+    l_start, _ = annealed(params, key, jnp.asarray(0.0), ys, ts)
+    l_end, _ = annealed(params, key, jnp.asarray(100.0), ys, ts)
+    l_flat, _ = flat(params, key, ys, ts)
+    # past the horizon the schedule equals the configured final scale exactly
+    np.testing.assert_allclose(float(l_end), float(l_flat), rtol=1e-5)
+    # at iter 0 the constraint is loose -> a very different objective
+    assert abs(float(l_start) - float(l_flat)) > 1.0, (l_start, l_flat)
+
+    trainer = Trainer(annealed, TrainConfig(num_iter=10, lr=1e-2,
+                                            log_freq=1000),
+                      pass_iteration=True)
+    trainer.train(params, jax.random.PRNGKey(4), ys, ts)
+    assert trainer.loss_meter.iters == list(range(1, 11))
+    assert np.isfinite(trainer.loss_meter.val)
+
+
+def test_solver_budget_warning_logged():
+    """A starved adaptive budget must produce an explicit Trainer warning
+    (the silent constant-state fallback is the one quiet failure mode of the
+    bounded dopri5 design, VERDICT r2 item 7)."""
+    data = _vdp(s_train=12)
+    args = ModelArgs(num_inducing=8, num_features=16, solver="dopri5",
+                     max_steps=2)  # far too few steps for 13 obs times
+    params = build_gpode(jax.random.PRNGKey(0), args, data.trn.ys)
+
+    msgs = []
+
+    class _Log:
+        def info(self, m):
+            msgs.append(m)
+
+    trainer = Trainer(gpode_loss_fn(args),
+                      TrainConfig(num_iter=3, lr=1e-3, log_freq=1,
+                                  ncov_expected=data.trn.ys.shape[1] + 1),
+                      logger=_Log())
+    trainer.train(params, jax.random.PRNGKey(2), jnp.asarray(data.trn.ys),
+                  jnp.asarray(data.trn.ts))
+    assert any("budget exhausted" in m for m in msgs), msgs
+    # the regular log line carries the health counters too
+    assert any("COV " in m for m in msgs), msgs
+
+
+def test_dopri5_rejects_nonpositive_first_step():
+    import pytest
+
+    from gpode_tpu.ops.ode import odeint_dopri5
+    with pytest.raises(ValueError, match="first_step"):
+        odeint_dopri5(lambda t, x: -x, jnp.ones(2), jnp.linspace(0.0, 1.0, 3),
+                      first_step=-0.5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from gpode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     data = _vdp(s_train=6)
