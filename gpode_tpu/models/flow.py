@@ -82,7 +82,6 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
 
     if cfg.use_adjoint:
         from gpode_tpu.ops.adjoint import odeint_adjoint
-        from gpode_tpu.ops.ode import ODEStats as _Stats
 
         adj_pallas = False if cfg.solver == "bdf" else cfg.pallas
 
@@ -90,11 +89,11 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
             del t  # time-invariant ODE (`dsvgp.py:172`)
             return gp.eval_draw(p[0], p[1], x, adj_pallas)
 
-        xs = odeint_adjoint(rhs_p, (gp_params, draw), x0, ts, cfg.solver,
-                            cfg.rtol, cfg.atol, cfg.substeps, cfg.max_steps,
-                            first_step=cfg.first_step)
-        zero = jnp.zeros((), dtype=jnp.int32)
-        return jnp.moveaxis(xs, 0, 1), _Stats(zero, zero, zero, zero)
+        xs, stats = odeint_adjoint(rhs_p, (gp_params, draw), x0, ts,
+                                   cfg.solver, cfg.rtol, cfg.atol,
+                                   cfg.substeps, cfg.max_steps,
+                                   first_step=cfg.first_step)
+        return jnp.moveaxis(xs, 0, 1), stats
 
     # RK4 one-interval segments (the shooting hot path) with a Pallas-active
     # batch take the segment megakernel: all 4*substeps stage evaluations and

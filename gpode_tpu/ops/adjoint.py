@@ -35,31 +35,33 @@ def odeint_adjoint(f: Callable, params, x0: jax.Array, ts: jax.Array,
                    solver: str = "dopri5", rtol: float = 1e-6,
                    atol: float = 1e-6, substeps: int = 1,
                    max_steps: int = 256,
-                   first_step: float | None = None) -> jax.Array:
+                   first_step: float | None = None):
     """Integrate dx/dt = f(params, t, x) from x0 over ts; gradients via the
-    continuous adjoint. Returns xs (T, *x0.shape) (stats are not exposed —
-    they would require a custom-vjp aux path; use `odeint` for diagnostics).
+    continuous adjoint. Returns (xs (T, *x0.shape), ODEStats) — the stats are
+    the FORWARD solve's counters (integer outputs carry symbolic-zero
+    cotangents through the custom vjp, so exposing them costs nothing); the
+    backward adjoint solve's own evaluations are not counted.
     """
-    xs, _ = odeint(lambda t, x: f(params, t, x), x0, ts, solver=solver,
-                   rtol=rtol, atol=atol, substeps=substeps,
-                   max_steps=max_steps, first_step=first_step)
-    return xs
+    return odeint(lambda t, x: f(params, t, x), x0, ts, solver=solver,
+                  rtol=rtol, atol=atol, substeps=substeps,
+                  max_steps=max_steps, first_step=first_step)
 
 
 def _fwd(f, params, x0, ts, solver, rtol, atol, substeps, max_steps,
          first_step):
     # (custom_vjp passes nondiff args in-position to fwd, but first to bwd.)
-    xs = odeint_adjoint(f, params, x0, ts, solver, rtol, atol, substeps,
-                        max_steps, first_step)
-    return xs, (params, xs, ts)
+    xs, stats = odeint_adjoint(f, params, x0, ts, solver, rtol, atol,
+                               substeps, max_steps, first_step)
+    return (xs, stats), (params, xs, ts)
 
 
 def _bwd(f, solver, rtol, atol, substeps, max_steps, first_step, residuals,
-         g):
+         gs):
     # first_step tunes the FORWARD segment solves; the adjoint intervals
     # integrate backward over one observation interval each and keep the
     # init heuristic.
     del first_step
+    g, _ = gs  # stats cotangents are symbolic zeros (integer outputs)
     params, xs, ts = residuals
     num_t = ts.shape[0]
 
