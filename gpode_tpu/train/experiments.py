@@ -558,6 +558,31 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     logger.info(f"[TRAIN] LL {train_ll:.3f} | MSE {train_mse:.3f}")
     logger.info(f"[TEST]  LL {test_ll:.3f} | MSE {test_mse:.3f}")
 
+    # early-stopped evaluation: the val split exists to pick the stopping
+    # point (the reference's loader keeps one, `src/datasets/mocap.py:62-78`,
+    # though its scripts never consume it); when val tracking ran, also score
+    # the best-val-LL checkpoint so segment overfitting past the optimum
+    # doesn't define the reported number.
+    best_metrics = {}
+    best_path = os.path.join(args.save, "checkpt_best.npz")
+    if args.val_freq > 0 and os.path.exists(best_path):
+        from gpode_tpu.utils.checkpoint import load_checkpoint
+        best_ck = load_checkpoint(best_path)
+        bp = best_ck["params"]
+        bx0 = bp.states.x0 if shooting_variant else bp.x0
+        bvp = gpode.GPODEParams(gp=bp.gp, x0=bx0, likelihood=bp.likelihood)
+        bz = np.asarray(gpode.predict(
+            k2, bvp, jnp.asarray(data_pca.tst.ts), eval_cfg,
+            margs.num_features, num_draws=args.eval_sample_size,
+            x0=jnp.asarray(data_pca.tst.ys[:, 0])))
+        by = np.asarray(project(projector, jnp.asarray(bz)))
+        bnv = np.asarray(bp.likelihood.variance)
+        b_ll, b_mse = compute_summary(data_full.tst.ys, by, bnv)
+        logger.info(f"[TEST best-val @ iter {int(best_ck['step'])}] "
+                    f"LL {b_ll:.3f} | MSE {b_mse:.3f}")
+        best_metrics = dict(test_ll_bestval=b_ll, test_mse_bestval=b_mse,
+                            bestval_iter=int(best_ck["step"]))
+
     np.savez(os.path.join(args.save, "model_predictions.npz"),
              train_pred_zs=train_pred_zs, train_pred_ys=train_pred_ys,
              test_pred_zs=test_pred_zs, test_pred_ys=test_pred_ys,
@@ -585,7 +610,7 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                                name="inducing_posterior_test")
         plots_mocap.plot_trace(trainer, args.save)
     metrics = dict(train_ll=train_ll, train_mse=train_mse,
-                   test_ll=test_ll, test_mse=test_mse)
+                   test_ll=test_ll, test_mse=test_mse, **best_metrics)
     return params, trainer, metrics
 
 
