@@ -29,7 +29,7 @@ from gpode_tpu.models.likelihoods import project
 from gpode_tpu.train.builders import (ModelArgs, build_gpode, build_shooting,
                                       default_frozen_predicate, gpode_loss_fn,
                                       shooting_loss_fn)
-from gpode_tpu.train.metrics import compute_summary
+from gpode_tpu.train.metrics import compute_calibration, compute_summary
 from gpode_tpu.train.trainer import (TrainConfig, Trainer, build_frozen_mask)
 from gpode_tpu.utils import io as io_utils
 from gpode_tpu.utils.checkpoint import save_checkpoint
@@ -557,6 +557,10 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     test_ll, test_mse = compute_summary(data_full.tst.ys, test_pred_ys, noise_var)
     logger.info(f"[TRAIN] LL {train_ll:.3f} | MSE {train_mse:.3f}")
     logger.info(f"[TEST]  LL {test_ll:.3f} | MSE {test_mse:.3f}")
+    cal = compute_calibration(data_full.tst.ys, test_pred_ys, noise_var)
+    logger.info("[TEST cal] " + " ".join(
+        f"{int(q * 100)}%: {c:.3f}" for q, c in cal["coverage"].items())
+        + f" | PIT MAE {cal['pit_mae']:.3f} (0.25 = calibrated)")
 
     # early-stopped evaluation: the val split exists to pick the stopping
     # point (the reference's loader keeps one, `src/datasets/mocap.py:62-78`,
@@ -578,10 +582,14 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         by = np.asarray(project(projector, jnp.asarray(bz)))
         bnv = np.asarray(bp.likelihood.variance)
         b_ll, b_mse = compute_summary(data_full.tst.ys, by, bnv)
+        b_cal = compute_calibration(data_full.tst.ys, by, bnv)
         logger.info(f"[TEST best-val @ iter {int(best_ck['step'])}] "
-                    f"LL {b_ll:.3f} | MSE {b_mse:.3f}")
+                    f"LL {b_ll:.3f} | MSE {b_mse:.3f} | cal " + " ".join(
+                        f"{int(q * 100)}%: {c:.3f}"
+                        for q, c in b_cal["coverage"].items()))
         best_metrics = dict(test_ll_bestval=b_ll, test_mse_bestval=b_mse,
-                            bestval_iter=int(best_ck["step"]))
+                            bestval_iter=int(best_ck["step"]),
+                            calibration_bestval=b_cal)
 
     np.savez(os.path.join(args.save, "model_predictions.npz"),
              train_pred_zs=train_pred_zs, train_pred_ys=train_pred_ys,
@@ -610,7 +618,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                                name="inducing_posterior_test")
         plots_mocap.plot_trace(trainer, args.save)
     metrics = dict(train_ll=train_ll, train_mse=train_mse,
-                   test_ll=test_ll, test_mse=test_mse, **best_metrics)
+                   test_ll=test_ll, test_mse=test_mse, calibration=cal,
+                   **best_metrics)
     return params, trainer, metrics
 
 

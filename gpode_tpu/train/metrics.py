@@ -36,3 +36,29 @@ def compute_mse(actual: np.ndarray, predicted: np.ndarray, ys_scale=1.0) -> floa
     actual = np.asarray(actual) * ys_scale
     predicted = np.asarray(predicted) * ys_scale
     return float(np.power(actual - predicted, 2).mean())
+
+
+def compute_calibration(actual: np.ndarray, predicted: np.ndarray,
+                        noise_var: np.ndarray,
+                        levels=(0.5, 0.9, 0.95)) -> dict:
+    """Empirical central-interval coverage of the predictive mixture.
+
+    The predictive distribution at each point is the S-component Gaussian
+    mixture sum_s N(y; pred_s, noise_var)/S — the same distribution the MLL
+    metric scores. Its PIT value u = F(y_obs) is exact:
+    u = mean_s Phi((y - pred_s)/sigma). A point falls inside the central
+    q-interval iff |u - 1/2| <= q/2, so empirical coverage at level q is
+    mean(|u - 1/2| <= q/2); a well-calibrated model gives coverage ~= q.
+
+    Returns {"coverage": {q: frac}, "pit_mae": mean |u - 1/2| (0.25 when
+    perfectly calibrated, -> 0 over-dispersed, -> 0.5 over-confident)}.
+    """
+    actual = np.asarray(actual)
+    predicted = np.asarray(predicted)
+    sigma = np.sqrt(np.asarray(noise_var) + 1e-12)
+    pit = norm.cdf((actual[None] - predicted) / sigma).mean(0)  # (N,T,D)
+    dev = np.abs(pit - 0.5)
+    return {
+        "coverage": {float(q): float((dev <= q / 2).mean()) for q in levels},
+        "pit_mae": float(dev.mean()),
+    }

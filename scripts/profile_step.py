@@ -124,7 +124,18 @@ def main():
         step = make_train_step(loss_fn, opt)
         opt_state = opt.init(params)
 
+        @jax.jit
+        def draw_build(gp_params, k):
+            # the ELBO's per-step posterior-draw build: shared Cholesky +
+            # num_samples whitened draws (each: RFF sample, Kzz solves -> nu)
+            chol = gp.precompute_chol(gp_params)
+            keys = jax.random.split(k, args.num_samples)
+            return jax.vmap(lambda kk: gp.draw_posterior(
+                kk, gp_params, args.num_features, chol))(keys)
+
         r = {}
+        r["draw_build_ms"] = _timeit(
+            lambda: draw_build(params.gp, key), sync_tree, cli.iters * 4)
         r["rhs_eval_ms"] = _timeit(
             lambda: rhs_eval(params.gp, key, x_batch), sync_tree, cli.iters * 4)
         r["forward_ms"] = _timeit(
