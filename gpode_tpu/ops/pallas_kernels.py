@@ -40,9 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE_N = 512
 
 # Scoped-VMEM budget for auto tile sizing (the hardware limit is 16 MiB; the
-# estimates below run ~1.4x the compiler's actual stack allocation, so a
-# 16 MiB estimate budget lands ~11 MiB actual with headroom).
-_VMEM_BUDGET_BYTES = 16 << 20
+# estimates below run ~1.4x the compiler's actual stack allocation, so the
+# estimate budget usually lands well under the 16 MiB hardware scoped-VMEM
+# limit. 14 MiB (not 16): under `jax.checkpoint` XLA may pin a kernel's big
+# operands in VMEM on top of its stack — measured 16.33 MiB actual for the
+# fused_rhs backward at tile 512 (M=100, S=256, D=5, 19456 rows, remat),
+# 2% over the hard limit; the 2 MiB margin keeps every kernel compilable
+# under rematerialization.
+_VMEM_BUDGET_BYTES = 14 << 20
 
 
 def _auto_tile(requested: int, n: int, est_floats_per_row: int) -> int:
