@@ -117,7 +117,11 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
     # Median of 3 timing windows (each synced by a scalar fetch): robust to
     # the one-core host's contention spikes, which made single-window
     # baseline measurements swing +-50% between rounds (BENCH_r01 vs r02).
-    window = max(1, iters // 3)
+    # Each window runs the FULL iteration count: the end-of-window sync fetch
+    # costs ~25-100 ms through the axon tunnel, and short windows (iters//3)
+    # were absorbing it into the timing — a measured 5-8% artificial
+    # "regression" on the r3 driver bench vs the r2 single-window method.
+    window = max(1, iters)
     window_times = []
     final_loss = None
     for _ in range(3):

@@ -39,18 +39,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE_N = 512
 
-# Scoped-VMEM budget for auto tile sizing (the hardware limit is 16 MiB; the
-# estimates below run ~1.4x the compiler's actual stack allocation, so the
-# estimate budget usually lands well under the 16 MiB hardware scoped-VMEM
-# limit. 14 MiB (not 16): under `jax.checkpoint` XLA may pin a kernel's big
-# operands in VMEM on top of its stack — measured 16.33 MiB actual for the
-# fused_rhs backward at tile 512 (M=100, S=256, D=5, 19456 rows, remat),
-# 2% over the hard limit; the 2 MiB margin keeps every kernel compilable
-# under rematerialization.
-_VMEM_BUDGET_BYTES = 14 << 20
+# Scoped-VMEM budgets for auto tile sizing (the hardware limit is 16 MiB;
+# the estimates below run ~1.4x the compiler's actual stack allocation, so a
+# 16 MiB estimate budget usually lands well under the hardware limit).
+# The standalone fused_rhs kernels get a tighter 14 MiB budget: they are what
+# `cfg.remat` wraps in `jax.checkpoint`, and under a checkpoint region XLA
+# may pin a kernel's big operands in VMEM on top of its stack — measured
+# 16.33 MiB actual for the fused_rhs backward at tile 512 (M=100, S=256,
+# D=5, 19456 rows, remat), 2% over the hard limit. The megakernels carry
+# their own in-kernel rematerialization (custom VJP) and never sit inside a
+# checkpoint region, so they keep the full budget — tightening them too was
+# measured to halve the scale config's backward tile (44.8 -> 39.9 steps/s).
+_VMEM_BUDGET_BYTES = 16 << 20
+_VMEM_BUDGET_REMAT_BYTES = 14 << 20
 
 
-def _auto_tile(requested: int, n: int, est_floats_per_row: int) -> int:
+def _auto_tile(requested: int, n: int, est_floats_per_row: int,
+               budget: int = _VMEM_BUDGET_BYTES) -> int:
     """Largest power-of-two tile whose estimated VMEM stack fits the budget.
 
     `est_floats_per_row`: per-tile-row f32 temporaries the kernel holds live
@@ -59,7 +64,7 @@ def _auto_tile(requested: int, n: int, est_floats_per_row: int) -> int:
     config's backward (D=5, S=256, M=256) allocated 17.03 MiB at tile 512."""
     tile = min(requested, max(8, n))
     tile -= tile % 8          # Mosaic: second-to-minor block dim 8-aligned
-    while tile > 8 and est_floats_per_row * tile * 4 > _VMEM_BUDGET_BYTES:
+    while tile > 8 and est_floats_per_row * tile * 4 > budget:
         tile //= 2
         tile -= tile % 8
     return max(tile, 8)
@@ -180,7 +185,8 @@ def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    tile_n = _auto_tile(tile_n, n, d * (3 * s + 2 * m))  # xo/phi/dphi + gram temps
+    tile_n = _auto_tile(tile_n, n, d * (3 * s + 2 * m),  # xo/phi/dphi + gram
+                        budget=_VMEM_BUDGET_REMAT_BYTES)
     x_p = _pad_rows(x, tile_n)
     n_pad = x_p.shape[0]
 
@@ -352,7 +358,8 @@ def _fused_rhs_bwd_pallas(x, z, lengthscales, variance, omega, phase, weights,
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    tile_n = _auto_tile(tile_n, n, d * (4 * s + 5 * m))  # xo/cos/dphi/dxo + gram chains
+    tile_n = _auto_tile(tile_n, n, d * (4 * s + 5 * m),  # xo/cos/dphi/dxo
+                        budget=_VMEM_BUDGET_REMAT_BYTES)
     x_p = _pad_rows(x, tile_n)
     g_p = _pad_rows(g.astype(jnp.float32), tile_n)  # zero rows -> zero cotangents
     n_pad = x_p.shape[0]
@@ -485,24 +492,33 @@ def _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
 
 
 def _fused_rk4_kernel(substeps, dt_ref, x_ref, z_ref, inv_ls_ref, var_ref,
-                      omega_ref, phase_ref, w_ref, nu_ref, out_ref):
+                      omega_ref, phase_ref, w_ref, nu_ref, out_ref,
+                      *maybe_xs_ref):
+    """With a trailing xs_ref output it additionally saves all 4*substeps
+    stage inputs (4*substeps, TN, Din) so the backward skips the whole-chain
+    recompute (stage states are tiny: N*Din floats each)."""
     dt = dt_ref[0, 0] / substeps
     z = z_ref[:]
     x = x_ref[:]
+    stage_inputs = []
     for _ in range(substeps):                       # static tiny unroll
-        x, _ = _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref,
-                           phase_ref, w_ref, nu_ref)
+        x, xs4 = _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                             phase_ref, w_ref, nu_ref)
+        stage_inputs.extend(xs4)
     out_ref[:] = x
+    if maybe_xs_ref:
+        maybe_xs_ref[0][:] = jnp.stack(stage_inputs, axis=0)
 
 
-def _fused_rk4_bwd_kernel(substeps, dt_ref, x_ref, z_ref, inv_ls_ref, var_ref,
+def _fused_rk4_bwd_kernel(substeps, dt_ref, xs_ref, z_ref, inv_ls_ref, var_ref,
                           omega_ref, phase_ref, w_ref, nu_ref, g_ref,
                           dx_ref, dz_ref, dls_ref, dvar_ref, domega_ref,
                           dphase_ref, dw_ref, dnu_ref):
     """Reverse sweep of the whole segment in VMEM.
 
-    Forward-recomputes the stage-input chain (cheap: Din/D ~ 5 per row), then
-    for each step in reverse applies the rk4 chain rule
+    The stage-input chain (4*substeps, TN, Din) was saved by the forward —
+    no recompute (halves the phi/gram passes; gradients bit-identical). For
+    each step in reverse applies the rk4 chain rule
         gk4 = dt/6 g;        gk3 = dt/3 g + dt gx4
         gk2 = dt/3 g + dt/2 gx3;  gk1 = dt/6 g + dt/2 gx2
         g  <- g + gx1 + gx2 + gx3 + gx4
@@ -512,12 +528,8 @@ def _fused_rk4_bwd_kernel(substeps, dt_ref, x_ref, z_ref, inv_ls_ref, var_ref,
     dt = dt_ref[0, 0] / substeps
     z = z_ref[:]
 
-    x = x_ref[:]
-    stage_inputs = []
-    for _ in range(substeps):
-        x, xs4 = _rk4_stages(x, dt, z, inv_ls_ref, var_ref, omega_ref,
-                             phase_ref, w_ref, nu_ref)
-        stage_inputs.append(xs4)
+    stage_inputs = [tuple(xs_ref[4 * k + i] for i in range(4))
+                    for k in range(substeps)]
 
     def vjp(xi, gi):
         return _rhs_vjp_tile(xi, z, inv_ls_ref, var_ref, omega_ref,
@@ -592,7 +604,8 @@ def _rk4_in_specs(tile_n, din, m, d, s):
 
 
 def _fused_rk4_forward(x, dt, z, lengthscales, variance, omega, phase,
-                       weights, nu, substeps, tile_n, interpret):
+                       weights, nu, substeps, tile_n, interpret,
+                       save_stages=False):
     n, din = x.shape
     m = z.shape[0]
     d = nu.shape[0]
@@ -602,38 +615,56 @@ def _fused_rk4_forward(x, dt, z, lengthscales, variance, omega, phase,
                             weights, nu, tile_n, 2 * d * (3 * s + 2 * m))
     n_pad = x_p.shape[0]
 
-    out = pl.pallas_call(
+    tile_spec = pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, din), jnp.float32)]
+    if save_stages:
+        ns = 4 * substeps
+        out_specs.append(pl.BlockSpec((ns, tile_n, din), lambda ni: (0, ni, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ns, n_pad, din), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(_fused_rk4_kernel, substeps),
         grid=(n_pad // tile_n,),
         in_specs=_rk4_in_specs(tile_n, din, m, d, s),
-        out_specs=pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+        out_specs=out_specs if save_stages else out_specs[0],
+        out_shape=out_shape if save_stages else out_shape[0],
         interpret=interpret,
     )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
-    return out[:n]
+    if save_stages:
+        return outs[0][:n], outs[1][:, :n, :]
+    return outs[:n]
 
 
-def _fused_rk4_bwd_pallas(x, dt, z, lengthscales, variance, omega, phase,
+def _fused_rk4_bwd_pallas(xs, dt, z, lengthscales, variance, omega, phase,
                           weights, nu, g, substeps, tile_n, interpret):
-    n, din = x.shape
+    n, din = xs.shape[1], xs.shape[2]
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    # ~three rhs-VJP working sets live at once in the reverse chain
-    # (measured: 23.1k floats/row at D=5, S=256, M=100 — Mosaic shares stage
-    # buffers only partially)
-    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
-        _rk4_operand_layout(x, dt, z, lengthscales, variance, omega, phase,
-                            weights, nu, tile_n, 3 * d * (4 * s + 5 * m))
+    # The saved stage inputs remove the whole-chain recompute (less WORK);
+    # Mosaic's live set still holds multiple stage-VJP working sets, so the
+    # proven 3x calibration stays for tile sizing.
+    tile_n, _, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(xs[0], dt, z, lengthscales, variance, omega,
+                            phase, weights, nu, tile_n,
+                            3 * d * (4 * s + 5 * m))
+    pad = (-n) % tile_n
+    xs_p = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
     g_p = _pad_rows(g.astype(jnp.float32), tile_n)
-    n_pad = x_p.shape[0]
+    n_pad = n + pad
 
     const = _full_spec
+    in_specs = _rk4_in_specs(tile_n, din, m, d, s)
+    in_specs[1] = pl.BlockSpec((4 * substeps, tile_n, din),
+                               lambda ni: (0, ni, 0),
+                               memory_space=pltpu.VMEM)   # xs replaces x0
     outs = pl.pallas_call(
         functools.partial(_fused_rk4_bwd_kernel, substeps),
         grid=(n_pad // tile_n,),
-        in_specs=_rk4_in_specs(tile_n, din, m, d, s) + [
+        in_specs=in_specs + [
             pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -655,7 +686,7 @@ def _fused_rk4_bwd_pallas(x, dt, z, lengthscales, variance, omega, phase,
             jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
         ],
         interpret=interpret,
-    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
+    )(dt2d, xs_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
     dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
     return (dx[:n], dz, dls, dvar.reshape(variance.shape),
             jnp.moveaxis(domega_t, 0, -1), jnp.moveaxis(dphase_t, 0, -1),
@@ -680,15 +711,16 @@ def fused_rk4_segment(x0, dt, z, lengthscales, variance, omega, phase,
 
 def _fused_rk4_fwd(x0, dt, z, lengthscales, variance, omega, phase, weights,
                    nu, substeps, tile_n, interpret):
-    out = _fused_rk4_forward(x0, dt, z, lengthscales, variance, omega, phase,
-                             weights, nu, substeps, tile_n, interpret)
-    return out, (x0, dt, z, lengthscales, variance, omega, phase, weights, nu)
+    out, xs = _fused_rk4_forward(x0, dt, z, lengthscales, variance, omega,
+                                 phase, weights, nu, substeps, tile_n,
+                                 interpret, save_stages=True)
+    return out, (xs, dt, z, lengthscales, variance, omega, phase, weights, nu)
 
 
 def _fused_rk4_bwd(substeps, tile_n, interpret, residuals, g):
-    (x0, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
+    (xs, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
     dx0, dz, dls, dvar, domega, dphase, dw, dnu = _fused_rk4_bwd_pallas(
-        x0, dt, z, lengthscales, variance, omega, phase, weights, nu, g,
+        xs, dt, z, lengthscales, variance, omega, phase, weights, nu, g,
         substeps, tile_n, interpret)
     return (dx0, jnp.zeros_like(dt), dz, dls, dvar, domega, dphase, dw, dnu)
 
@@ -734,20 +766,25 @@ def _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref, phase_ref,
 
 def _fused_dp_attempt_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
                              var_ref, omega_ref, phase_ref, w_ref, nu_ref,
-                             x5_ref, err_ref):
+                             x5_ref, err_ref, *maybe_xs_ref):
+    """Forward attempt; with a trailing xs_ref output it additionally saves
+    the six stage inputs (6, TN, Din) so the backward can skip the
+    whole-chain recompute (stage states are tiny: N*Din floats each)."""
     dt = dt_ref[0, 0]
     z = z_ref[:]
     x = x_ref[:]
-    x5, _, ks = _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref,
-                                 phase_ref, w_ref, nu_ref)
+    x5, xs, ks = _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref,
+                                  phase_ref, w_ref, nu_ref)
     err = dt * sum((b5 - b4) * k
                    for b5, b4, k in zip(_DP_B5_K, _DP_B4_K, ks))
     scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
     x5_ref[:] = x5
     err_ref[:] = err / scale
+    if maybe_xs_ref:
+        maybe_xs_ref[0][:] = jnp.stack(xs, axis=0)      # (6, TN, Din)
 
 
-def _fused_dp_attempt_bwd_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
+def _fused_dp_attempt_bwd_kernel(rtol, atol, dt_ref, xs_ref, z_ref, inv_ls_ref,
                                  var_ref, omega_ref, phase_ref, w_ref, nu_ref,
                                  g_ref, dx_ref, dz_ref, dls_ref, dvar_ref,
                                  domega_ref, dphase_ref, dw_ref, dnu_ref):
@@ -755,13 +792,14 @@ def _fused_dp_attempt_bwd_kernel(rtol, atol, dt_ref, x_ref, z_ref, inv_ls_ref,
 
     gk_i = dt*b_i*gy + dt * sum_{l>i} a_{l,i} * gx_l, processed descending;
     the embedded-error output carries no cotangent (stop-gradient controller).
+    Stage inputs xs (6, TN, Din) were saved by the forward — no whole-chain
+    recompute here (halves the backward's phi/gram passes; gradients are
+    bit-identical since the VJPs see the exact forward stage states).
     """
     ni = pl.program_id(0)
     dt = dt_ref[0, 0]
     z = z_ref[:]
-    x = x_ref[:]
-    _, xs, _ = _dp_stage_inputs(x, dt, z, inv_ls_ref, var_ref, omega_ref,
-                                phase_ref, w_ref, nu_ref)
+    xs = [xs_ref[i] for i in range(6)]
 
     def vjp(xi, gi):
         return _rhs_vjp_tile(xi, z, inv_ls_ref, var_ref, omega_ref,
@@ -826,7 +864,7 @@ def fused_dopri5_attempt(x0, dt, z, lengthscales, variance, omega, phase,
 
 
 def _fused_dp_forward(x, dt, z, lengthscales, variance, omega, phase, weights,
-                      nu, rtol, atol, tile_n, interpret):
+                      nu, rtol, atol, tile_n, interpret, save_stages=False):
     n, din = x.shape
     m = z.shape[0]
     d = nu.shape[0]
@@ -836,55 +874,69 @@ def _fused_dp_forward(x, dt, z, lengthscales, variance, omega, phase, weights,
                             weights, nu, tile_n, 2 * d * (3 * s + 2 * m))
     n_pad = x_p.shape[0]
 
-    x5, err = pl.pallas_call(
+    tile_spec = pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [tile_spec, tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
+                 jax.ShapeDtypeStruct((n_pad, din), jnp.float32)]
+    if save_stages:
+        out_specs.append(pl.BlockSpec((6, tile_n, din), lambda ni: (0, ni, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((6, n_pad, din), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(_fused_dp_attempt_kernel, float(rtol), float(atol)),
         grid=(n_pad // tile_n,),
         in_specs=_rk4_in_specs(tile_n, din, m, d, s),
-        out_specs=[
-            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, din), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
+    if save_stages:
+        x5, err, xs = outs
+        return x5[:n], err[:n], xs[:, :n, :]
+    x5, err = outs
     return x5[:n], err[:n]
 
 
 def _fused_dp_fwd(x0, dt, z, lengthscales, variance, omega, phase, weights,
                   nu, rtol, atol, tile_n, interpret):
-    out = _fused_dp_forward(x0, dt, z, lengthscales, variance, omega, phase,
-                            weights, nu, rtol, atol, tile_n, interpret)
-    x5, err = out
+    x5, err, xs = _fused_dp_forward(x0, dt, z, lengthscales, variance, omega,
+                                    phase, weights, nu, rtol, atol, tile_n,
+                                    interpret, save_stages=True)
     return (x5, jax.lax.stop_gradient(err)), (
-        x0, dt, z, lengthscales, variance, omega, phase, weights, nu)
+        xs, dt, z, lengthscales, variance, omega, phase, weights, nu)
 
 
 def _fused_dp_bwd(rtol, atol, tile_n, interpret, residuals, gs):
     g_x5, _ = gs                                         # err: stop-gradient
-    (x0, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
-    n, din = x0.shape
+    (xs, dt, z, lengthscales, variance, omega, phase, weights, nu) = residuals
+    n, din = xs.shape[1], xs.shape[2]
     m = z.shape[0]
     d = nu.shape[0]
     s = weights.shape[0]
-    # ~five rhs-VJP working sets live through the six-stage reverse chain
-    # (compiler measured 33.3k floats/row at D=5, S=256, M=100)
-    tile_n, x_p, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
-        _rk4_operand_layout(x0, dt, z, lengthscales, variance, omega, phase,
-                            weights, nu, tile_n, 5 * d * (4 * s + 5 * m))
+    # The saved stage inputs remove the whole-chain recompute (less WORK),
+    # but Mosaic's live set barely shrinks: the six stage-VJP working sets
+    # plus gk buffers still coexist (measured 19.6 MiB at tile 128 with a 3x
+    # estimate) — keep the proven 5x calibration for tile sizing.
+    tile_n, _, dt2d, inv_ls, var2d, omega_t, phase_t, w_t, nu_t = \
+        _rk4_operand_layout(xs[0], dt, z, lengthscales, variance, omega,
+                            phase, weights, nu, tile_n,
+                            5 * d * (4 * s + 5 * m))
+    pad = (-n) % tile_n
+    xs_p = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
     g_p = _pad_rows(g_x5.astype(jnp.float32), tile_n)
-    n_pad = x_p.shape[0]
+    n_pad = n + pad
 
     const = _full_spec
+    in_specs = _rk4_in_specs(tile_n, din, m, d, s)
+    in_specs[1] = pl.BlockSpec((6, tile_n, din), lambda ni: (0, ni, 0),
+                               memory_space=pltpu.VMEM)   # xs replaces x0
     outs = pl.pallas_call(
         functools.partial(_fused_dp_attempt_bwd_kernel, float(rtol),
                           float(atol)),
         grid=(n_pad // tile_n,),
-        in_specs=_rk4_in_specs(tile_n, din, m, d, s) + [
+        in_specs=in_specs + [
             pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -906,7 +958,7 @@ def _fused_dp_bwd(rtol, atol, tile_n, interpret, residuals, gs):
             jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
         ],
         interpret=interpret,
-    )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
+    )(dt2d, xs_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
     dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
     return (dx[:n], jnp.zeros_like(dt), dz, dls,
             dvar.reshape(variance.shape), jnp.moveaxis(domega_t, 0, -1),

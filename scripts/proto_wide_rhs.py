@@ -100,7 +100,7 @@ def _wide_rhs_kernel(d_out, sp, mp, x_ref, b_ref, phase_ref, zn_ref,
 
 
 def fused_rhs_wide(x, z, lengthscales, variance, omega, phase, weights, nu,
-                   tile_n=512, interpret=False):
+                   tile_n=256, interpret=False):
     n, din = x.shape
     d = nu.shape[0]
     s = weights.shape[0]
@@ -124,6 +124,62 @@ def fused_rhs_wide(x, z, lengthscales, variance, omega, phase, weights, nu,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=interpret,
     )(x_p, b, phase_w, zn_w, invls2_t, wblk)
+    return out[:n]
+
+
+def _wide2_rhs_kernel(d_out, sp, mp, x_ref, b_ref, phase_ref, zn_ref,
+                      invls2_ref, wsc_ref, nuvar_ref, out_ref):
+    """Wide variant 2: one fat matmul + per-dim VPU multiply-reduces
+    (no act concat, no K=W reduce matmul)."""
+    x = x_ref[:]
+    t = jnp.dot(x, b_ref[:], preferred_element_type=jnp.float32,
+                precision=HI)                                     # (TN, W)
+    xn = jnp.dot(x * x, invls2_ref[:], preferred_element_type=jnp.float32,
+                 precision=HI)                                    # (TN, D)
+    ds = d_out * sp
+    cosv = jnp.cos(t[:, :ds] + phase_ref[:])                      # (TN, DS)
+    cols = []
+    for d in range(d_out):
+        pr = jnp.sum(cosv[:, d * sp:(d + 1) * sp] * wsc_ref[0, d * sp:(d + 1) * sp],
+                     axis=1, keepdims=True)
+        e = jnp.exp(t[:, ds + d * mp:ds + (d + 1) * mp]
+                    - 0.5 * (xn[:, d:d + 1] + zn_ref[0, d * mp:(d + 1) * mp]))
+        up = jnp.sum(e * nuvar_ref[0, d * mp:(d + 1) * mp], axis=1,
+                     keepdims=True)
+        cols.append(pr + up)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def fused_rhs_wide2(x, z, lengthscales, variance, omega, phase, weights, nu,
+                    tile_n=512, interpret=False):
+    n, din = x.shape
+    d = nu.shape[0]
+    s = weights.shape[0]
+    b, phase_w, zn_w, invls2_t, wblk, sp, mp = wide_pack(
+        z, lengthscales, variance, omega, phase, weights, nu, s)
+    # flat per-column weights instead of the block matrix
+    wsc = wblk[:d * sp].reshape(d, sp, d)
+    idx = jnp.arange(d)
+    wsc_w = wsc[idx, :, idx].reshape(1, d * sp)
+    nv = wblk[d * sp:].reshape(d, mp, d)[idx, :, idx].reshape(1, d * mp)
+    w = b.shape[1]
+    x_p = _pad_rows(x, tile_n)
+    n_pad = x_p.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_wide2_rhs_kernel, d, sp, mp),
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, din), lambda ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec((din, w)), _full_spec((1, d * sp)),
+            _full_spec((1, d * mp)), _full_spec((din, d)),
+            _full_spec((1, d * sp)), _full_spec((1, d * mp)),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d), lambda ni: (ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x_p, b, phase_w, zn_w, invls2_t, wsc_w, nv)
     return out[:n]
 
 
@@ -328,35 +384,56 @@ def main():
     err2 = float(jnp.max(jnp.abs(cur - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
     print(f"current vs jnp reference: max rel err {err2:.3e}")
 
+    CHAIN = 100
+
     def bench(fn, name):
-        f = jax.jit(fn)
-        r = f(*args); r.block_until_ready(); float(r[0, 0])  # compile+sync
+        # chain CHAIN data-dependent evals inside ONE jitted scan: measures
+        # pure kernel latency like the solver stage chain, no dispatch noise
+        @jax.jit
+        def run(x0):
+            def body(xc, _):
+                out = fn(xc, *args[1:])
+                return out[:, :xc.shape[1]] * 1e-3 + xc, None
+            xf, _ = jax.lax.scan(body, x0, None, length=CHAIN)
+            return xf
+        r = run(x); float(r[0, 0])  # compile+sync
         t0 = time.perf_counter()
-        for _ in range(cli.iters):
-            r = f(*args)
+        for _ in range(5):
+            r = run(x)
         float(r[0, 0])
-        dt = (time.perf_counter() - t0) / cli.iters
-        print(f"{name}: {dt * 1e6:.1f} us/eval")
+        dt = (time.perf_counter() - t0) / (5 * CHAIN)
+        print(f"{name}: {dt * 1e6:.1f} us/eval (chained)")
         return dt
 
     t_cur = bench(lambda *a: fused_rhs(*a), "current per-dim kernel")
     t_wide = bench(lambda *a: fused_rhs_wide(*a), "wide kernel")
+    wide2 = fused_rhs_wide2(*args)
+    e3 = float(jnp.max(jnp.abs(wide2 - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    print(f"wide2 vs jnp reference: max rel err {e3:.3e}")
+    t_wide2 = bench(lambda *a: fused_rhs_wide2(*a), "wide2 kernel (VPU reduce)")
     t_xla = bench(lambda *a: _rhs_reference_jnp(*a), "XLA path")
     print(f"fwd speedup wide vs current: {t_cur / t_wide:.2f}x; "
           f"vs XLA: {t_xla / t_wide:.2f}x")
 
     from gpode_tpu.ops.pallas_kernels import _fused_rhs_bwd_pallas
 
+    CHAINB = 50
+
     def bench1(fn, name):
-        f = jax.jit(fn)
-        r = f(*args, g); jax.tree_util.tree_map(
-            lambda v: v.block_until_ready(), r)
+        @jax.jit
+        def run(g0):
+            def body(gc, _):
+                outs = fn(*args, gc)
+                return outs[0] * 1e-3 + gc, None
+            gf, _ = jax.lax.scan(body, g0, None, length=CHAINB)
+            return gf
+        r = run(g); float(r[0, 0])
         t0 = time.perf_counter()
-        for _ in range(cli.iters):
-            r = f(*args, g)
-        float(jax.tree_util.tree_leaves(r)[0].ravel()[0])
-        dt = (time.perf_counter() - t0) / cli.iters
-        print(f"{name}: {dt * 1e6:.1f} us/eval")
+        for _ in range(5):
+            r = run(g)
+        float(r[0, 0])
+        dt = (time.perf_counter() - t0) / (5 * CHAINB)
+        print(f"{name}: {dt * 1e6:.1f} us/eval (chained)")
         return dt
 
     tb_cur = bench1(lambda *a: _fused_rhs_bwd_pallas(
