@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
-from gpode_tpu.data.vanderpol import VanderPol
+from gpode_tpu.data.vanderpol import VanderPol, VanderPolNonUniform
 from gpode_tpu.models import gpode
 from gpode_tpu.models.init import (initialize_inducing,
                                    initialize_kernel_parameters,
@@ -55,6 +55,11 @@ class ExperimentArgs:
     data_obs_s: int = 25
     data_obs_t: float = 7.0
     data_obs_noise_var: float = 0.05
+    # VDP observed at sorted random times (`VanderPolNonUniform`,
+    # reference `src/datasets/vanderpol.py:65-113` — shipped but never
+    # wired to a driver there). Vanilla variant only: the shooting model
+    # assumes a uniform segment grid (reference `gpode_shooting/models.py`).
+    data_nonuniform: bool = False
     data_subject: str = "09"
     data_seqlen: int = 100
     num_latents: int = 5
@@ -223,9 +228,15 @@ def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
                   eval_sample_size):
     """VDP-style evaluation: extrapolation scored beyond the train horizon
     (`train_vdp_gpode.py:149-162`)."""
-    t_train = data.trn.ys.shape[1]
     test_ts = jnp.asarray(data.tst.ts)
     train_ts = jnp.asarray(data.trn.ts)
+    # Extrapolation = test points strictly beyond the train horizon. For the
+    # uniform datasets this reproduces the reference's index slicing
+    # (`test_pred[:, :, T:]`, whose grids place index T-1 exactly at the
+    # horizon); for VanderPolNonUniform the whole test split lies beyond it.
+    horizon = float(np.asarray(data.trn.ts)[-1])
+    t_train = int(np.searchsorted(np.asarray(data.tst.ts),
+                                  horizon * (1.0 + 1e-6)))
 
     x0_post = params.states.x0 if shooting_variant else params.x0
     vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
@@ -253,6 +264,23 @@ def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
 def run_vdp(args: ExperimentArgs, shooting_variant: bool = False):
     """VDP experiment, vanilla or shooting (`train_vdp_gpode[_shooting].py`)."""
     name = "vdp_gpode_shooting" if shooting_variant else "vdp_gpode"
+    if args.data_nonuniform:
+        # Sorted-random observation times; the dense-output adaptive solvers
+        # train on the irregular grid directly. Test split = s_train points
+        # on a fresh random grid over the NEXT t_train seconds (pure
+        # extrapolation; `_eval_and_log` detects the non-embedded test grid
+        # and scores all of it).
+        if shooting_variant:
+            raise ValueError(
+                "--data_nonuniform needs the vanilla variant: the shooting "
+                "model integrates uniform one-interval segments "
+                "(reference gpode_shooting/models.py:119-125)")
+        data = VanderPolNonUniform(
+            s_train=args.data_obs_s, t_train=args.data_obs_t,
+            s_test=args.data_obs_s, t_test=2.0 * args.data_obs_t,
+            noise_var=args.data_obs_noise_var,
+            x0=np.array([[-1.5, 2.5]]), mu=0.5)
+        return run_2d(args, data, "vdp_gpode_nonuniform", False)
     n_ahead = args.data_obs_s if not shooting_variant else 50
     data = VanderPol(
         s_train=args.data_obs_s, t_train=args.data_obs_t,

@@ -87,6 +87,11 @@ def add_vdp_flags(p: argparse.ArgumentParser):
                    help="Training integration time")
     p.add_argument("--data_obs_noise_var", type=float, default=0.05,
                    help="Observation noise variance for simulation")
+    p.add_argument("--data_nonuniform", type=_str2bool, default=False,
+                   help="Observe VDP at sorted random times "
+                        "(VanderPolNonUniform; vanilla variant only — the "
+                        "dense-output solvers train on the irregular grid "
+                        "directly, test split is pure extrapolation)")
 
 
 def add_mocap_flags(p: argparse.ArgumentParser):

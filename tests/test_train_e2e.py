@@ -240,3 +240,26 @@ def test_run_fhn_interpolation_shooting_masked(tmp_path):
     _, _, metrics = run_fhn_interpolation(args, small=True,
                                           shooting_variant=True)
     assert np.isfinite(metrics["interp_mse"])
+
+
+def test_vdp_nonuniform_driver_end_to_end(tmp_path):
+    """--data_nonuniform: the vanilla driver trains on sorted random
+    observation times (VanderPolNonUniform — the reference ships the
+    simulator, `src/datasets/vanderpol.py:65-113`, without wiring it to any
+    script) and scores the whole pure-extrapolation test split."""
+    import pytest
+
+    from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
+    args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
+                          ts_dense_scale=3, max_steps=16, data_obs_s=10,
+                          data_obs_t=3.0, num_iter=6, eval_sample_size=3,
+                          log_freq=3, checkpoint_every=0, plots=False,
+                          data_nonuniform=True, save=str(tmp_path / "nu"))
+    _, trainer, metrics = run_vdp(args, shooting_variant=False)
+    assert np.isfinite(metrics["test_ll"]) and np.isfinite(metrics["test_mse"])
+    assert np.isfinite(trainer.loss_meter.val)
+
+    # the shooting model assumes a uniform segment grid -> clear rejection
+    args.save = str(tmp_path / "rej")
+    with pytest.raises(ValueError, match="uniform"):
+        run_vdp(args, shooting_variant=True)
