@@ -36,7 +36,14 @@ REF_OUT = "/tmp/parity_study_ref.json"
 def run_side(side: str, seeds, num_iter: int, out: str):
     from parity_vdp import run_ours, run_reference
     results = {}
+    if os.path.exists(out):   # resume: keep seeds a previous run completed
+        prev = json.load(open(out))
+        if prev.get("num_iter") == num_iter and prev.get("side") == side:
+            results = prev["results"]
+            print(f"resuming: {len(results)} seeds already done", flush=True)
     for seed in seeds:
+        if str(seed) in results:
+            continue
         t0 = time.time()
         print(f"=== {side} seed {seed} ===", flush=True)
         if side == "ours":
