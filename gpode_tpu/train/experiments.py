@@ -95,6 +95,12 @@ class ExperimentArgs:
     # 'dp=2,mc=4' (None = single device) and the sharded-step style
     mesh: Optional[str] = None
     parallel: str = "shard_map"
+    # eval-only re-entry: skip initialization and training, load a trained
+    # checkpoint from <save> and run evaluation + plots + prediction export.
+    # The reference cannot re-score a saved model without retraining; this is
+    # the serving/inference entry for every driver.
+    eval_only: bool = False
+    eval_checkpoint: str = "checkpt.npz"
     save: str = "results/run"
     seed: int = 121
     log_freq: int = 10
@@ -203,8 +209,32 @@ def _ncov_expected(shooting_variant: bool, ts) -> int:
 def _setup_run(args: ExperimentArgs, name: str):
     io_utils.makedirs(args.save)
     logger = io_utils.get_logger(os.path.join(args.save, "logs"), name=name)
-    io_utils.save_args(args, os.path.join(args.save, "train_args.json"))
+    # an eval-only invocation must not clobber the training run's arg record
+    fname = "eval_args.json" if args.eval_only else "train_args.json"
+    io_utils.save_args(args, os.path.join(args.save, fname))
     return logger
+
+
+def _load_eval_params(args: ExperimentArgs, template, logger):
+    """--eval_only: restore trained parameters into the freshly built pytree.
+
+    The checkpoint must come from a run with matching model/data flags —
+    otherwise the leaf shapes will not line up and the unflatten fails
+    loudly."""
+    from gpode_tpu.utils.checkpoint import load_checkpoint
+    path = os.path.join(args.save, args.eval_checkpoint)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"--eval_only needs a trained checkpoint at {path} "
+            "(train first, or point --eval_checkpoint at one)")
+    state = load_checkpoint(path)
+    restored = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template),
+        jax.tree_util.tree_leaves(state["params"]))
+    step = state.get("step")
+    logger.info(f"Eval-only: loaded {path}"
+                + (f" (step {int(step)})" if step is not None else ""))
+    return restored
 
 
 def _maybe_resume(args: ExperimentArgs, params, logger):
@@ -313,78 +343,89 @@ def run_2d(args: ExperimentArgs, data, name: str,
     cfg = margs.solver_config()
     eval_cfg = _eval_cfg(cfg)
     # validate/construct the mesh before any expensive init work
-    step_factory, mesh = _mesh_step_factory(args, margs, logger,
-                                            shooting_variant)
+    step_factory, mesh = ((None, None) if args.eval_only else
+                          _mesh_step_factory(args, margs, logger,
+                                             shooting_variant))
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_train, k_eval = jax.random.split(key, 4)
 
     if shooting_variant:
         params = build_shooting(k_build, margs, data.trn.ys)
-        if args.plots:
-            from gpode_tpu.plots import plots_2d
-            plots_2d.plot_shooting_initialization(
-                k_init, params, data, eval_cfg, margs.num_features, args.save,
-                "model_before_initialization.png")
-        params = params._replace(gp=initialize_inducing(
-            params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
-        params = initialize_shooting_states_with_data(
-            k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
-            margs.num_features)
         loss_fn = shooting_loss_fn(margs)
         frozen = build_frozen_mask(params, default_frozen_predicate(margs))
     else:
         params = build_gpode(k_build, margs, data.trn.ys)
-        if args.plots:
-            from gpode_tpu.plots import plots_2d
-            plots_2d.plot_model_initialization(
-                params.gp, data, args.save, "model_before_initialization.png")
-        params = params._replace(gp=initialize_inducing(
-            params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
-        params = initialize_latents_with_data(
-            k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
-            margs.num_features)
         loss_fn = gpode_loss_fn(margs)
         frozen = None
-    if args.plots:
-        from gpode_tpu.plots import plots_2d
-        if shooting_variant:
-            plots_2d.plot_shooting_initialization(
-                k_init, params, data, eval_cfg, margs.num_features, args.save,
-                "model_after_initialization.png")
-        else:
-            plots_2d.plot_model_initialization(
-                params.gp, data, args.save, "model_after_initialization.png")
 
-    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
-    train_ys = jnp.asarray(data.trn.ys)
-    train_ts_dev = jnp.asarray(data.trn.ts)
-    if mesh is not None:
-        params, train_ys, train_ts_dev = _place_on_mesh(
-            mesh, params, train_ys, train_ts_dev)
-    trainer = Trainer(loss_fn,
-                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
-                                  lr_schedule=args.lr_schedule,
-                                  grad_clip=args.grad_clip,
-                                  log_freq=args.log_freq,
-                                  warmup_iters=min(100, args.num_iter // 10),
-                                  checkpoint_every=args.checkpoint_every,
-                                  ncov_expected=_ncov_expected(
-                                      shooting_variant, data.trn.ts)),
-                      frozen_mask=frozen, logger=logger,
-                      checkpoint_path=os.path.join(args.save, "checkpt.npz"),
-                      step_factory=step_factory,
-                      pass_iteration=(shooting_variant
-                                      and margs.constraint_anneal_iters > 0))
-    params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
-                                         train_ys, train_ts_dev,
-                                         start_iter=start_iter,
-                                         opt_state=opt_state0)
-    logger.info("********** Optimization completed **********")
-    from gpode_tpu.train.trainer import save_trace
-    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
-    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
-                    {"params": params, "opt_state": opt_state,
-                     "key": key_end, "step": args.num_iter})
+    if args.eval_only:
+        params = _load_eval_params(args, params, logger)
+        trainer = None
+    else:
+        if args.plots:
+            from gpode_tpu.plots import plots_2d
+            if shooting_variant:
+                plots_2d.plot_shooting_initialization(
+                    k_init, params, data, eval_cfg, margs.num_features,
+                    args.save, "model_before_initialization.png")
+            else:
+                plots_2d.plot_model_initialization(
+                    params.gp, data, args.save,
+                    "model_before_initialization.png")
+        params = params._replace(gp=initialize_inducing(
+            params.gp, data.trn.ys, float(data.trn.ts.max()), rng=rng))
+        if shooting_variant:
+            params = initialize_shooting_states_with_data(
+                k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
+                margs.num_features)
+        else:
+            params = initialize_latents_with_data(
+                k_init, params, data.trn.ys, data.trn.ts, eval_cfg,
+                margs.num_features)
+        if args.plots:
+            from gpode_tpu.plots import plots_2d
+            if shooting_variant:
+                plots_2d.plot_shooting_initialization(
+                    k_init, params, data, eval_cfg, margs.num_features,
+                    args.save, "model_after_initialization.png")
+            else:
+                plots_2d.plot_model_initialization(
+                    params.gp, data, args.save,
+                    "model_after_initialization.png")
+
+        params, opt_state0, key0, start_iter = _maybe_resume(args, params,
+                                                             logger)
+        train_ys = jnp.asarray(data.trn.ys)
+        train_ts_dev = jnp.asarray(data.trn.ts)
+        if mesh is not None:
+            params, train_ys, train_ts_dev = _place_on_mesh(
+                mesh, params, train_ys, train_ts_dev)
+        trainer = Trainer(loss_fn,
+                          TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                      lr_schedule=args.lr_schedule,
+                                      grad_clip=args.grad_clip,
+                                      log_freq=args.log_freq,
+                                      warmup_iters=min(100,
+                                                       args.num_iter // 10),
+                                      checkpoint_every=args.checkpoint_every,
+                                      ncov_expected=_ncov_expected(
+                                          shooting_variant, data.trn.ts)),
+                          frozen_mask=frozen, logger=logger,
+                          checkpoint_path=os.path.join(args.save,
+                                                       "checkpt.npz"),
+                          step_factory=step_factory,
+                          pass_iteration=(shooting_variant
+                                          and margs.constraint_anneal_iters > 0))
+        params, opt_state, key_end = trainer.train(
+            params, key0 if key0 is not None else k_train,
+            train_ys, train_ts_dev,
+            start_iter=start_iter, opt_state=opt_state0)
+        logger.info("********** Optimization completed **********")
+        from gpode_tpu.train.trainer import save_trace
+        save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
+        save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                        {"params": params, "opt_state": opt_state,
+                         "key": key_end, "step": args.num_iter})
 
     train_pred, test_pred, metrics = _eval_and_log(
         logger, data, params, margs, eval_cfg, k_eval, shooting_variant,
@@ -414,7 +455,8 @@ def run_2d(args: ExperimentArgs, data, name: str,
                                        noise_var=noise_var)
         if shooting_variant:
             plots_2d.plot_shooting_states(params.states, data, args.save)
-        plots_2d.plot_trace(trainer, args.save)
+        if trainer is not None:
+            plots_2d.plot_trace(trainer, args.save)
     return params, trainer, metrics
 
 
@@ -439,8 +481,9 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
     cfg = margs.solver_config()
     eval_cfg = _eval_cfg(cfg)
     # validate/construct the mesh before any expensive init work
-    step_factory, mesh = _mesh_step_factory(args, margs, logger,
-                                            shooting_variant)
+    step_factory, mesh = ((None, None) if args.eval_only else
+                          _mesh_step_factory(args, margs, logger,
+                                             shooting_variant))
     rng = np.random.RandomState(args.seed)
     k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
 
@@ -459,112 +502,123 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
                                           data_pca.trn.ts, args.save,
                                           name=f"plt_data_{tag}")
 
-    if args.plots:
-        x0_pre = params.states.x0 if shooting_variant else params.x0
-        vp0 = gpode.GPODEParams(gp=params.gp, x0=x0_pre,
-                                likelihood=params.likelihood)
-        pre_zs = np.asarray(gpode.predict(
-            k_noise, vp0, jnp.asarray(data_pca.trn.ts), eval_cfg,
-            margs.num_features, num_draws=16,
-            x0=jnp.asarray(data_pca.trn.ys[:, 0])))
-        _plot_mocap_predictions("before_initialization", pre_zs,
-                                np.asarray(project(projector,
-                                                   jnp.asarray(pre_zs))))
-
-    params = params._replace(gp=initialize_kernel_parameters(
-        params.gp, lengthscale_value=1.25, variance_value=0.5))
-    params = params._replace(gp=initialize_inducing(
-        params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0, rng=rng))
-    if shooting_variant:
-        params = initialize_shooting_states_with_data(
-            k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
-            margs.num_features)
-        x0_post = params.states.x0
+    if args.eval_only:
+        params = _load_eval_params(args, params, logger)
+        trainer = None
     else:
-        params = initialize_latents_with_data(
-            k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
-            margs.num_features)
-        x0_post = params.x0
+        if args.plots:
+            x0_pre = params.states.x0 if shooting_variant else params.x0
+            vp0 = gpode.GPODEParams(gp=params.gp, x0=x0_pre,
+                                    likelihood=params.likelihood)
+            pre_zs = np.asarray(gpode.predict(
+                k_noise, vp0, jnp.asarray(data_pca.trn.ts), eval_cfg,
+                margs.num_features, num_draws=16,
+                x0=jnp.asarray(data_pca.trn.ys[:, 0])))
+            _plot_mocap_predictions("before_initialization", pre_zs,
+                                    np.asarray(project(projector,
+                                                       jnp.asarray(pre_zs))))
 
-    # noise init from residual variance of initial predictions
-    # (`train_mocap_gpode.py:125-131`)
-    vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
-                                likelihood=params.likelihood)
-    init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts),
-                            eval_cfg, margs.num_features, num_draws=16)
-    init_ys = np.asarray(project(projector, init_zs))
-    resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
-    params = params._replace(likelihood=initialize_noisevar(
-        params.likelihood, 1.5 * resid_var))
-    if args.plots:
-        _plot_mocap_predictions("after_initialization", np.asarray(init_zs),
-                                init_ys)
+        params = params._replace(gp=initialize_kernel_parameters(
+            params.gp, lengthscale_value=1.25, variance_value=0.5))
+        params = params._replace(gp=initialize_inducing(
+            params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0,
+            rng=rng))
+        if shooting_variant:
+            params = initialize_shooting_states_with_data(
+                k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
+                margs.num_features)
+            x0_post = params.states.x0
+        else:
+            params = initialize_latents_with_data(
+                k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
+                margs.num_features)
+            x0_post = params.x0
 
-    loss_fn = shooting_loss_fn(margs) if shooting_variant else gpode_loss_fn(margs)
-    frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
-              if shooting_variant else None)
-    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
+        # noise init from residual variance of initial predictions
+        # (`train_mocap_gpode.py:125-131`)
+        vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
+                                    likelihood=params.likelihood)
+        init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts),
+                                eval_cfg, margs.num_features, num_draws=16)
+        init_ys = np.asarray(project(projector, init_zs))
+        resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
+        params = params._replace(likelihood=initialize_noisevar(
+            params.likelihood, 1.5 * resid_var))
+        if args.plots:
+            _plot_mocap_predictions("after_initialization", np.asarray(init_zs),
+                                    init_ys)
 
-    # periodic validation: full-trajectory predictions from the observed val
-    # x0, scored in 50-D data space; best-val-LL params are checkpointed
-    from gpode_tpu.utils.meters import Meter
-    val_meters = {"val_ll": Meter(), "val_mse": Meter()}
-    val_callback = None
-    if args.val_freq > 0:
-        val_ts = jnp.asarray(data_pca.val.ts)
-        val_x0 = jnp.asarray(data_pca.val.ys[:, 0])
-        val_ys_full = data_full.val.ys
-        best = {"ll": -np.inf}
+        loss_fn = (shooting_loss_fn(margs) if shooting_variant
+                   else gpode_loss_fn(margs))
+        frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
+                  if shooting_variant else None)
+        params, opt_state0, key0, start_iter = _maybe_resume(args, params,
+                                                             logger)
 
-        def val_callback(itr, p):
-            x0_p = p.states.x0 if shooting_variant else p.x0
-            vp = gpode.GPODEParams(gp=p.gp, x0=x0_p, likelihood=p.likelihood)
-            zs = gpode.predict(jax.random.fold_in(k_eval, itr), vp, val_ts,
-                               eval_cfg, margs.num_features,
-                               num_draws=args.val_draws, x0=val_x0)
-            ys_pred = np.asarray(project(projector, zs))
-            nv = np.asarray(p.likelihood.variance)
-            ll, mse = compute_summary(val_ys_full, ys_pred, nv)
-            val_meters["val_ll"].update(ll, itr)
-            val_meters["val_mse"].update(mse, itr)
-            marker = ""
-            if ll > best["ll"]:
-                best["ll"] = ll
-                save_checkpoint(os.path.join(args.save, "checkpt_best.npz"),
-                                {"params": p, "step": itr, "val_ll": ll})
-                marker = " *best"
-            logger.info(f"[VAL] iter {itr} LL {ll:.3f} | MSE {mse:.3f}{marker}")
+        # periodic validation: full-trajectory predictions from the observed
+        # val x0, scored in 50-D data space; best-val-LL params checkpointed
+        from gpode_tpu.utils.meters import Meter
+        val_meters = {"val_ll": Meter(), "val_mse": Meter()}
+        val_callback = None
+        if args.val_freq > 0:
+            val_ts = jnp.asarray(data_pca.val.ts)
+            val_x0 = jnp.asarray(data_pca.val.ys[:, 0])
+            val_ys_full = data_full.val.ys
+            best = {"ll": -np.inf}
 
-    train_ys = jnp.asarray(data_full.trn.ys)
-    train_ts_dev = jnp.asarray(data_pca.trn.ts)
-    if mesh is not None:
-        params, train_ys, train_ts_dev = _place_on_mesh(
-            mesh, params, train_ys, train_ts_dev)
-    trainer = Trainer(loss_fn,
-                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
-                                  lr_schedule=args.lr_schedule,
-                                  grad_clip=args.grad_clip,
-                                  log_freq=args.log_freq, warmup_iters=100,
-                                  checkpoint_every=args.checkpoint_every,
-                                  ncov_expected=_ncov_expected(
-                                      shooting_variant, data_pca.trn.ts)),
-                      frozen_mask=frozen, logger=logger,
-                      checkpoint_path=os.path.join(args.save, "checkpt.npz"),
-                      callback=val_callback, callback_every=args.val_freq,
-                      step_factory=step_factory,
-                      pass_iteration=(shooting_variant
-                                      and margs.constraint_anneal_iters > 0))
-    params, opt_state, key_end = trainer.train(params, key0 if key0 is not None else k_train,
-                                         train_ys, train_ts_dev,
-                                         start_iter=start_iter,
-                                         opt_state=opt_state0)
-    logger.info("********** Optimization completed **********")
-    from gpode_tpu.train.trainer import save_trace
-    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"),
-               extra=val_meters)
-    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
-                    {"params": params, "opt_state": opt_state,
-                     "key": key_end, "step": args.num_iter})
+            def val_callback(itr, p):
+                x0_p = p.states.x0 if shooting_variant else p.x0
+                vp = gpode.GPODEParams(gp=p.gp, x0=x0_p,
+                                       likelihood=p.likelihood)
+                zs = gpode.predict(jax.random.fold_in(k_eval, itr), vp, val_ts,
+                                   eval_cfg, margs.num_features,
+                                   num_draws=args.val_draws, x0=val_x0)
+                ys_pred = np.asarray(project(projector, zs))
+                nv = np.asarray(p.likelihood.variance)
+                ll, mse = compute_summary(val_ys_full, ys_pred, nv)
+                val_meters["val_ll"].update(ll, itr)
+                val_meters["val_mse"].update(mse, itr)
+                marker = ""
+                if ll > best["ll"]:
+                    best["ll"] = ll
+                    save_checkpoint(os.path.join(args.save,
+                                                 "checkpt_best.npz"),
+                                    {"params": p, "step": itr, "val_ll": ll})
+                    marker = " *best"
+                logger.info(f"[VAL] iter {itr} LL {ll:.3f} | "
+                            f"MSE {mse:.3f}{marker}")
+
+        train_ys = jnp.asarray(data_full.trn.ys)
+        train_ts_dev = jnp.asarray(data_pca.trn.ts)
+        if mesh is not None:
+            params, train_ys, train_ts_dev = _place_on_mesh(
+                mesh, params, train_ys, train_ts_dev)
+        trainer = Trainer(loss_fn,
+                          TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                      lr_schedule=args.lr_schedule,
+                                      grad_clip=args.grad_clip,
+                                      log_freq=args.log_freq, warmup_iters=100,
+                                      checkpoint_every=args.checkpoint_every,
+                                      ncov_expected=_ncov_expected(
+                                          shooting_variant, data_pca.trn.ts)),
+                          frozen_mask=frozen, logger=logger,
+                          checkpoint_path=os.path.join(args.save,
+                                                       "checkpt.npz"),
+                          callback=val_callback, callback_every=args.val_freq,
+                          step_factory=step_factory,
+                          pass_iteration=(shooting_variant
+                                          and margs.constraint_anneal_iters > 0))
+        params, opt_state, key_end = trainer.train(
+            params, key0 if key0 is not None else k_train,
+            train_ys, train_ts_dev,
+            start_iter=start_iter, opt_state=opt_state0)
+        logger.info("********** Optimization completed **********")
+        from gpode_tpu.train.trainer import save_trace
+        save_trace(trainer, os.path.join(args.save, "optimization_trace.json"),
+                   extra=val_meters)
+        save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                        {"params": params, "opt_state": opt_state,
+                         "key": key_end, "step": args.num_iter})
 
     # evaluation from observed first latent states (`train_mocap_gpode.py:187-218`)
     x0_post = params.states.x0 if shooting_variant else params.x0
@@ -644,7 +698,8 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         plots_mocap.plot_inducing_posterior_3d(params.gp, test_pred_zs,
                                                args.save,
                                                name="inducing_posterior_test")
-        plots_mocap.plot_trace(trainer, args.save)
+        if trainer is not None:
+            plots_mocap.plot_trace(trainer, args.save)
     metrics = dict(train_ll=train_ll, train_mse=train_mse,
                    test_ll=test_ll, test_mse=test_mse, calibration=cal,
                    **best_metrics)
@@ -695,11 +750,13 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
 
     if shooting_variant:
         params = build_shooting(k_build, margs, train_ys)
-        params = params._replace(gp=initialize_inducing(
-            params.gp, split["train_ys"], float(split["train_ts"].max()),
-            rng=rng))
-        params = initialize_shooting_states_with_data(
-            k_init, params, train_ys, train_ts, eval_cfg, margs.num_features)
+        if not args.eval_only:
+            params = params._replace(gp=initialize_inducing(
+                params.gp, split["train_ys"], float(split["train_ts"].max()),
+                rng=rng))
+            params = initialize_shooting_states_with_data(
+                k_init, params, train_ys, train_ts, eval_cfg,
+                margs.num_features)
 
         def loss_fn(p, k, ys, ts):
             return shooting_mod.elbo_loss(k, p, ys, ts, cfg,
@@ -709,34 +766,42 @@ def run_fhn_interpolation(args: ExperimentArgs, small: bool = False,
         frozen = build_frozen_mask(params, default_frozen_predicate(margs))
     else:
         params = build_gpode(k_build, margs, train_ys)
-        params = params._replace(gp=initialize_inducing(
-            params.gp, train_ys, float(train_ts.max()), rng=rng))
-        params = initialize_latents_with_data(k_init, params, train_ys,
-                                              train_ts, eval_cfg,
-                                              margs.num_features)
+        if not args.eval_only:
+            params = params._replace(gp=initialize_inducing(
+                params.gp, train_ys, float(train_ts.max()), rng=rng))
+            params = initialize_latents_with_data(k_init, params, train_ys,
+                                                  train_ts, eval_cfg,
+                                                  margs.num_features)
         loss_fn = gpode_loss_fn(margs)
         frozen = None
 
-    params, opt_state0, key0, start_iter = _maybe_resume(args, params, logger)
-    trainer = Trainer(loss_fn,
-                      TrainConfig(num_iter=args.num_iter, lr=args.lr,
-                                  log_freq=args.log_freq,
-                                  warmup_iters=min(100, args.num_iter // 10),
-                                  checkpoint_every=args.checkpoint_every,
-                                  ncov_expected=_ncov_expected(
-                                      shooting_variant, train_ts)),
-                      frozen_mask=frozen, logger=logger,
-                      checkpoint_path=os.path.join(args.save, "checkpt.npz"))
-    params, opt_state, key_end = trainer.train(
-        params, key0 if key0 is not None else k_train,
-        jnp.asarray(train_ys), jnp.asarray(train_ts),
-        start_iter=start_iter, opt_state=opt_state0)
-    logger.info("********** Optimization completed **********")
-    from gpode_tpu.train.trainer import save_trace
-    save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
-    save_checkpoint(os.path.join(args.save, "checkpt.npz"),
-                    {"params": params, "opt_state": opt_state,
-                     "key": key_end, "step": args.num_iter})
+    if args.eval_only:
+        params = _load_eval_params(args, params, logger)
+        trainer = None
+    else:
+        params, opt_state0, key0, start_iter = _maybe_resume(args, params,
+                                                             logger)
+        trainer = Trainer(loss_fn,
+                          TrainConfig(num_iter=args.num_iter, lr=args.lr,
+                                      log_freq=args.log_freq,
+                                      warmup_iters=min(100,
+                                                       args.num_iter // 10),
+                                      checkpoint_every=args.checkpoint_every,
+                                      ncov_expected=_ncov_expected(
+                                          shooting_variant, train_ts)),
+                          frozen_mask=frozen, logger=logger,
+                          checkpoint_path=os.path.join(args.save,
+                                                       "checkpt.npz"))
+        params, opt_state, key_end = trainer.train(
+            params, key0 if key0 is not None else k_train,
+            jnp.asarray(train_ys), jnp.asarray(train_ts),
+            start_iter=start_iter, opt_state=opt_state0)
+        logger.info("********** Optimization completed **********")
+        from gpode_tpu.train.trainer import save_trace
+        save_trace(trainer, os.path.join(args.save, "optimization_trace.json"))
+        save_checkpoint(os.path.join(args.save, "checkpt.npz"),
+                        {"params": params, "opt_state": opt_state,
+                         "key": key_end, "step": args.num_iter})
 
     # predict on the full grid from the optimized x0 posterior; score the
     # held-out interpolation window

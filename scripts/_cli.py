@@ -77,6 +77,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_plots", action="store_true", help="Skip diagnostics plots")
     p.add_argument("--resume", action="store_true",
                    help="Resume from <save>/checkpt.npz if present")
+    p.add_argument("--eval_only", action="store_true",
+                   help="Skip initialization and training: load the trained "
+                        "checkpoint from <save> and run evaluation + plots + "
+                        "prediction export only (model/data flags must match "
+                        "the training run)")
+    p.add_argument("--eval_checkpoint", type=str, default="checkpt.npz",
+                   help="Checkpoint filename inside <save> for --eval_only "
+                        "(e.g. checkpt_best.npz)")
     return p
 
 

@@ -217,6 +217,15 @@ def test_run_mocap_experiment_driver(tmp_path):
                               shooting_variant=True)
     assert np.isfinite(metrics["test_mse"])
 
+    # --eval_only re-entry on the mocap path (projector + PCA pipeline) must
+    # reproduce the training run's final eval from the saved checkpoint
+    _, trainer, rescored = run_mocap(
+        ExperimentArgs(**base, save=str(tmp_path / "s"), eval_only=True),
+        shooting_variant=True)
+    assert trainer is None
+    for k in ("train_ll", "train_mse", "test_ll", "test_mse"):
+        assert rescored[k] == metrics[k], k
+
 
 def test_run_fhn_interpolation_driver(tmp_path):
     from gpode_tpu.train.experiments import ExperimentArgs, run_fhn_interpolation
@@ -263,3 +272,35 @@ def test_vdp_nonuniform_driver_end_to_end(tmp_path):
     args.save = str(tmp_path / "rej")
     with pytest.raises(ValueError, match="uniform"):
         run_vdp(args, shooting_variant=True)
+
+
+def test_eval_only_reenters_and_reproduces_final_eval(tmp_path):
+    """--eval_only: re-score a saved checkpoint without retraining (the
+    serving/inference entry; the reference has no way to re-evaluate a saved
+    model). Same seed => same eval key split, and the npz checkpoint
+    round-trips float32 exactly, so the re-entry must reproduce the training
+    run's final metrics bit-for-bit."""
+    from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
+    import pytest
+
+    kwargs = dict(num_inducing=8, num_features=16, solver="rk4",
+                  ts_dense_scale=3, max_steps=16, data_obs_s=10,
+                  data_obs_t=3.0, num_iter=5, eval_sample_size=3,
+                  log_freq=5, checkpoint_every=0, plots=False,
+                  save=str(tmp_path))
+    _, _, trained = run_vdp(ExperimentArgs(**kwargs), shooting_variant=False)
+
+    _, trainer, scored = run_vdp(ExperimentArgs(**kwargs, eval_only=True),
+                                 shooting_variant=False)
+    assert trainer is None
+    for k in ("train_ll", "train_mse", "test_ll", "test_mse"):
+        assert scored[k] == trained[k], k
+    # the eval-only invocation records its own args without clobbering the
+    # training run's
+    assert (tmp_path / "eval_args.json").exists()
+    assert (tmp_path / "train_args.json").exists()
+
+    # a missing checkpoint fails loudly
+    with pytest.raises(FileNotFoundError, match="eval_only"):
+        run_vdp(ExperimentArgs(**{**kwargs, "save": str(tmp_path / "none")},
+                               eval_only=True), shooting_variant=False)
