@@ -237,6 +237,13 @@ def test_run_fhn_interpolation_driver(tmp_path):
     _, _, metrics = run_fhn_interpolation(args, small=True)
     assert np.isfinite(metrics["interp_mse"])
 
+    # --eval_only re-entry reproduces the final scoring from the checkpoint
+    args.eval_only = True
+    _, trainer, rescored = run_fhn_interpolation(args, small=True)
+    assert trainer is None
+    for k in ("train_ll", "interp_ll", "interp_mse"):
+        assert rescored[k] == metrics[k], k
+
 
 def test_run_fhn_interpolation_shooting_masked(tmp_path):
     """Masked shooting interpolation (beyond-reference capability)."""
