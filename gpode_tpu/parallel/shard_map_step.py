@@ -135,14 +135,44 @@ def make_shard_map_shooting_loss(mesh: Mesh, args: ModelArgs):
 
 def make_shard_map_shooting_step(mesh: Mesh, args: ModelArgs,
                                  optimizer: optax.GradientTransformation,
-                                 frozen_mask=None):
+                                 frozen_mask=None,
+                                 with_iteration: bool = False):
     """Jitted train step over the shard_map loss (params replicated, ys
     sharded over `dp`). `frozen_mask` zeroes gradients of frozen leaves,
     matching the GSPMD step and the Trainer (constraint scale frozen by
-    default)."""
+    default).
+
+    with_iteration=True threads a replicated device-side iteration counter
+    (step signature gains `itr` after `key`, returns itr+1) and applies the
+    constraint-scale annealing schedule to the replicated params before the
+    shard_map region — `--constraint_anneal_iters` composes with `--mesh`."""
     loss_fn = make_shard_map_shooting_loss(mesh, args)
     rep = NamedSharding(mesh, P())
     data_shard = NamedSharding(mesh, P("dp"))
+
+    def _update(params, opt_state, grads):
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads,
+                frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    if with_iteration:
+        from gpode_tpu.train.builders import constraint_annealer
+        anneal = constraint_annealer(args)
+
+        @partial(jax.jit, in_shardings=(rep, rep, rep, rep, data_shard, rep),
+                 out_shardings=(rep, rep, rep, rep, rep))
+        def step_itr(params, opt_state, key, itr, ys, ts):
+            key, sub = jax.random.split(key)
+            (_, terms), grads = jax.value_and_grad(
+                lambda p: loss_fn(anneal(p, itr) if anneal is not None else p,
+                                  sub, ys, ts), has_aux=True)(params)
+            params, opt_state = _update(params, opt_state, grads)
+            return params, opt_state, key, itr + 1, terms
+
+        return step_itr
 
     @partial(jax.jit, in_shardings=(rep, rep, rep, data_shard, rep),
              out_shardings=(rep, rep, rep, rep))
@@ -150,12 +180,7 @@ def make_shard_map_shooting_step(mesh: Mesh, args: ModelArgs,
         key, sub = jax.random.split(key)
         (_, terms), grads = jax.value_and_grad(
             lambda p: loss_fn(p, sub, ys, ts), has_aux=True)(params)
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: jnp.zeros_like(g) if m else g, grads,
-                frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _update(params, opt_state, grads)
         return params, opt_state, key, terms
 
     return step

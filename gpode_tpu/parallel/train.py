@@ -21,10 +21,17 @@ from gpode_tpu.train.builders import ModelArgs
 
 def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
                                optimizer: optax.GradientTransformation,
-                               frozen_mask=None):
+                               frozen_mask=None, with_iteration: bool = False):
     """Jitted sharded step: (params, opt_state, key, ys, ts) -> (params,
     opt_state, key, terms). ys must have N divisible by the `dp` axis size
-    and num_samples by `mc`."""
+    and num_samples by `mc`.
+
+    with_iteration=True matches `trainer.make_train_step`'s convention: the
+    step becomes (params, opt_state, key, itr, ys, ts) -> (..., itr+1, terms)
+    with a replicated device-side counter, and the constraint-scale annealing
+    schedule (`builders.constraint_annealer`) applies to the replicated
+    params before the sharded loss — `--constraint_anneal_iters` composes
+    with `--mesh`."""
     # The segment integration runs in a shard_map manual region inside the
     # jitted program (`shooting.shard_mapped_integrate`): a bare pallas_call
     # is opaque to the GSPMD partitioner (XLA would all-gather the dp/mc-
@@ -42,17 +49,37 @@ def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
                                   num_samples=args.num_samples,
                                   state_sharding=ss_sharding, seg_mesh=mesh)
 
+    def _update(params, opt_state, grads):
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * 0 if m else g, grads, frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    if with_iteration:
+        from gpode_tpu.train.builders import constraint_annealer
+        anneal = constraint_annealer(args)
+
+        @partial(jax.jit,
+                 in_shardings=(rep, rep, rep, rep, data_shard, rep),
+                 out_shardings=(rep, rep, rep, rep, rep))
+        def step_itr(params, opt_state, key, itr, ys, ts):
+            key, sub = jax.random.split(key)
+            (_, terms), grads = jax.value_and_grad(
+                lambda p: loss(anneal(p, itr) if anneal is not None else p,
+                               sub, ys, ts), has_aux=True)(params)
+            params, opt_state = _update(params, opt_state, grads)
+            return params, opt_state, key, itr + 1, terms
+
+        return step_itr
+
     @partial(jax.jit,
              in_shardings=(rep, rep, rep, data_shard, rep),
              out_shardings=(rep, rep, rep, rep))
     def step(params, opt_state, key, ys, ts):
         key, sub = jax.random.split(key)
         (_, terms), grads = jax.value_and_grad(loss, has_aux=True)(params, sub, ys, ts)
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g * 0 if m else g, grads, frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = _update(params, opt_state, grads)
         return params, opt_state, key, terms
 
     return step

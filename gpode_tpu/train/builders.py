@@ -120,6 +120,38 @@ def gpode_loss_fn(args: ModelArgs):
     return loss
 
 
+def constraint_annealer(args: ModelArgs):
+    """(params, itr) -> params with the annealed constraint scale swapped in.
+
+    The geometric loose-to-tight schedule (RESULTS.md "annealing study"):
+    scale decays from `constraint_anneal_start` to `constraint_initial_scale`
+    over the first `constraint_anneal_iters` iterations, constant after.
+    Returns None when annealing is off. Pure in (params, itr), so it composes
+    with any step style — the single-device jitted step and both sharded
+    steps (`parallel/train.py`, `parallel/shard_map_step.py`) apply it to the
+    replicated params before the loss."""
+    if args.constraint_anneal_iters <= 0:
+        return None
+    import jax.numpy as jnp
+
+    from gpode_tpu.ops import math as om
+    log_start = float(np.log(args.constraint_anneal_start))
+    log_final = float(np.log(args.constraint_initial_scale))
+    horizon = float(args.constraint_anneal_iters)
+
+    def anneal(params, itr):
+        frac = jnp.clip(itr / horizon, 0.0, 1.0)
+        scale = jnp.exp((1.0 - frac) * log_start + frac * log_final)
+        raw = om.invsoftplus(scale)
+        constraint = params.constraint._replace(
+            raw_scale=jnp.broadcast_to(
+                raw, params.constraint.raw_scale.shape).astype(
+                    params.constraint.raw_scale.dtype))
+        return params._replace(constraint=constraint)
+
+    return anneal
+
+
 def shooting_loss_fn(args: ModelArgs):
     """loss(params, key, ys, ts) for the shooting model.
 
@@ -131,23 +163,12 @@ def shooting_loss_fn(args: ModelArgs):
     """
     cfg = args.solver_config()
 
-    if args.constraint_anneal_iters > 0:
-        from gpode_tpu.ops import math as om
-        log_start = float(np.log(args.constraint_anneal_start))
-        log_final = float(np.log(args.constraint_initial_scale))
-        horizon = float(args.constraint_anneal_iters)
+    anneal = constraint_annealer(args)
+    if anneal is not None:
 
         def annealed(params, key, itr, ys, ts):
-            import jax.numpy as jnp
-            frac = jnp.clip(itr / horizon, 0.0, 1.0)
-            scale = jnp.exp((1.0 - frac) * log_start + frac * log_final)
-            raw = om.invsoftplus(scale)
-            constraint = params.constraint._replace(
-                raw_scale=jnp.broadcast_to(
-                    raw, params.constraint.raw_scale.shape).astype(
-                        params.constraint.raw_scale.dtype))
-            p = params._replace(constraint=constraint)
-            return shooting.elbo_loss(key, p, ys, ts, cfg, args.num_features,
+            return shooting.elbo_loss(key, anneal(params, itr), ys, ts, cfg,
+                                      args.num_features,
                                       num_samples=args.num_samples)
 
         return annealed

@@ -162,28 +162,29 @@ def _mesh_step_factory(args: ExperimentArgs, margs: ModelArgs, logger,
             "--mesh multi-chip training is wired for the shooting variants "
             "(the scale-out workload, SURVEY.md §2.3); drop --mesh or use "
             "the shooting driver")
-    if args.constraint_anneal_iters > 0:
-        raise ValueError("--constraint_anneal_iters is not supported together "
-                         "with --mesh yet (the sharded steps carry no "
-                         "iteration counter); drop one of the two flags")
     from gpode_tpu.parallel.mesh import make_mesh, parse_mesh_spec
     mesh = make_mesh(parse_mesh_spec(args.mesh))
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     logger.info(f"Multi-chip training: mesh {shape} over "
                 f"{mesh.devices.size} devices ({args.parallel} step)")
+    # annealing composes: the sharded steps thread the same device-side
+    # iteration counter as the single-device step (Trainer pass_iteration)
+    with_itr = margs.constraint_anneal_iters > 0
     if args.parallel == "gspmd":
         from gpode_tpu.parallel.train import make_sharded_shooting_step
 
         def factory(optimizer, frozen_mask):
             return make_sharded_shooting_step(mesh, margs, optimizer,
-                                              frozen_mask)
+                                              frozen_mask,
+                                              with_iteration=with_itr)
     else:
         from gpode_tpu.parallel.shard_map_step import \
             make_shard_map_shooting_step
 
         def factory(optimizer, frozen_mask):
             return make_shard_map_shooting_step(mesh, margs, optimizer,
-                                                frozen_mask)
+                                                frozen_mask,
+                                                with_iteration=with_itr)
     return factory, mesh
 
 

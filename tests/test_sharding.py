@@ -420,6 +420,76 @@ def test_mocap_shooting_driver_trains_on_dp_mesh(tmp_path):
     assert np.isfinite(metrics["test_mse"])
 
 
+def test_annealed_sharded_steps_match_single_device():
+    """`--constraint_anneal_iters` composes with `--mesh`: the GSPMD annealed
+    step must reproduce the single-device annealed step's loss exactly (same
+    key/sampler), both must thread the iteration counter, and the shard_map
+    annealed step must actually consume the schedule (loose scale at itr=0
+    vs tight at the horizon changes the constraint term)."""
+    from gpode_tpu.parallel.shard_map_step import make_shard_map_shooting_step
+    from gpode_tpu.train.trainer import make_train_step
+
+    ys, ts = _data(n=4)
+    args = dataclasses.replace(_ARGS, constraint_anneal_iters=10,
+                               constraint_anneal_start=0.1)
+    params = build_shooting(jax.random.PRNGKey(0), args, np.asarray(ys))
+    opt = optax.adam(1e-2)
+    mesh = make_mesh({"dp": 2, "mc": 4})
+    key = jax.random.PRNGKey(3)
+    itr0 = jnp.asarray(1.0, jnp.float32)
+
+    plain_step = make_train_step(shooting_loss_fn(args), opt,
+                                 with_iteration=True)
+    _, _, _, itr_p, terms_p = plain_step(params, opt.init(params), key, itr0,
+                                         ys, ts)
+
+    gspmd_step = make_sharded_shooting_step(mesh, args, opt,
+                                            with_iteration=True)
+    p = device_put_replicated(params, mesh)
+    s = device_put_replicated(opt.init(params), mesh)
+    k = device_put_replicated(key, mesh)
+    i = device_put_replicated(itr0, mesh)
+    _, _, _, itr_g, terms_g = gspmd_step(p, s, k, i, device_put_batch(ys, mesh),
+                                         device_put_replicated(ts, mesh))
+    np.testing.assert_allclose(float(terms_g.loss), float(terms_p.loss),
+                               rtol=1e-4)
+    assert float(itr_g) == float(itr_p) == 2.0
+
+    sm_step = make_shard_map_shooting_step(mesh, args, opt,
+                                           with_iteration=True)
+
+    def sm_loss_at(itr):
+        _, _, _, itr_out, terms = sm_step(
+            p, s, k, device_put_replicated(jnp.asarray(itr, jnp.float32),
+                                           mesh),
+            device_put_batch(ys, mesh), device_put_replicated(ts, mesh))
+        return float(terms.loss), float(itr_out)
+
+    loss_loose, itr_next = sm_loss_at(0.0)
+    loss_tight, _ = sm_loss_at(1000.0)
+    assert np.isfinite(loss_loose) and np.isfinite(loss_tight)
+    assert itr_next == 1.0
+    # the tight 1e-3 scale penalizes continuity gaps far harder than 0.1
+    assert abs(loss_tight - loss_loose) > 1e-3
+
+
+def test_annealed_mesh_driver_trains(tmp_path):
+    """Driver-level wiring: run_vdp shooting with --mesh AND
+    --constraint_anneal_iters trains end-to-end (the round-3 incompatibility
+    removed)."""
+    from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
+    args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
+                          ts_dense_scale=3, max_steps=16, data_obs_s=12,
+                          data_obs_t=3.0, num_iter=6, num_samples=8,
+                          eval_sample_size=3, log_freq=3, checkpoint_every=0,
+                          plots=False, mesh="dp=1,mc=-1", parallel="gspmd",
+                          constraint_anneal_iters=4,
+                          save=str(tmp_path / "anneal_mesh"))
+    _, trainer, metrics = run_vdp(args, shooting_variant=True)
+    assert np.isfinite(metrics["test_mse"])
+    assert np.isfinite(trainer.loss_meter.val)
+
+
 def test_mesh_flag_rejected_for_vanilla_variant(tmp_path):
     from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
     args = ExperimentArgs(num_inducing=8, num_features=16, solver="rk4",
