@@ -126,7 +126,8 @@ def shard_mapped_integrate(mesh, cfg: SolverConfig):
 def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
               ts: jax.Array, cfg: SolverConfig, num_features: int,
               num_samples: int = 1, state_sharding=None,
-              obs_mask=None, seg_mesh=None) -> tuple[jax.Array, ShootingELBOTerms]:
+              obs_mask=None, seg_mesh=None, segment_minibatch: int = 0,
+              segment_idx=None) -> tuple[jax.Array, ShootingELBOTerms]:
     """Negative shooting ELBO; ys: (N, T, D_obs), ts: (T,) uniform grid.
 
     One GP function draw is shared by all `num_samples` state samples, as in
@@ -141,6 +142,17 @@ def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
     `shard_map` manual region (:func:`shard_mapped_integrate`) so the fused
     Pallas kernels survive sharding; S must divide by the `mc` axis and N by
     `dp`.
+
+    `segment_minibatch` (beyond-reference; 0 = off = reference behavior):
+    integrate only K uniformly sampled segments per step instead of all T —
+    the step cost becomes O(K) on arbitrarily long trajectories while the
+    estimator stays UNBIASED: the observation term is a subsample mean
+    (uniform inclusion), the continuity term a Horvitz-Thompson sum (each
+    segment's constraint weighted by T/K; endpoint segment masked), and the
+    analytic terms (entropy, both KLs) are exact as always. The variational
+    objective the reference optimizes is recovered in expectation
+    (`tests/test_models.py` enumerates K=1 batches to check this to float
+    tolerance). `segment_idx` overrides the sampled indices (test hook).
     """
     k_draw, k_ss = jax.random.split(key)
 
@@ -149,15 +161,37 @@ def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
         ss = jax.lax.with_sharding_constraint(ss, state_sharding)
     s, n, t, d = ss.shape
 
+    minibatched = segment_idx is not None or (0 < segment_minibatch < t)
+    if minibatched:
+        if segment_idx is None:
+            # fold_in (not a third split) keeps the draw/state sampling
+            # stream identical to the non-minibatched path
+            k_idx = jax.random.fold_in(key, 0x5e6)
+            idx = jax.random.permutation(k_idx, t)[:segment_minibatch]
+        else:
+            idx = jnp.asarray(segment_idx)
+        k = idx.shape[0]
+        ss_batch = jnp.take(ss, idx, axis=2)                  # (S,N,K,D)
+        # continuity partner: state idx+1 (the final segment has none)
+        has_next = (idx < t - 1).astype(ss.dtype)             # (K,)
+        ss_next = jnp.take(ss, jnp.minimum(idx + 1, t - 1), axis=2)
+    else:
+        idx = None
+        ss_batch = ss
+
     draw = gp.draw_posterior(k_draw, params.gp, num_features)
     if seg_mesh is not None:
         pred, stats = shard_mapped_integrate(seg_mesh, cfg)(
-            params.gp, draw, ss, ts[:2])
+            params.gp, draw, ss_batch, ts[:2])
     else:
-        pred, stats = integrate_segments(params.gp, draw, ss, ts[:2], cfg)
+        pred, stats = integrate_segments(params.gp, draw, ss_batch, ts[:2],
+                                         cfg)
 
-    lp = likelihood_log_prob(params.likelihood, pred, ys[None])
+    ys_batch = ys if idx is None else jnp.take(ys, idx, axis=1)
+    lp = likelihood_log_prob(params.likelihood, pred, ys_batch[None])
     if obs_mask is None:
+        # subsample mean over uniformly included segments = unbiased
+        # estimator of the full mean
         observ_loglik = jnp.mean(lp)
         num_obs = ys.size
     else:
@@ -165,15 +199,25 @@ def elbo_loss(key: jax.Array, params: ShootingParams, ys: jax.Array,
         # the continuity constraint still span the full uniform grid, so the
         # ODE posterior interpolates through gaps (beyond-reference: the
         # shooting variant requires a uniform grid and could not do this).
-        m = obs_mask[None, :, :, None].astype(lp.dtype)
-        observ_loglik = jnp.sum(lp * m) / (s * jnp.sum(m) * lp.shape[-1])
-        num_obs = jnp.sum(m) * lp.shape[-1]
+        mask = obs_mask if idx is None else jnp.take(obs_mask, idx, axis=1)
+        m = mask[None, :, :, None].astype(lp.dtype)
+        m_total = jnp.sum(obs_mask)  # normalizer stays the FULL observed count
+        batch_scale = 1.0 if idx is None else t / k
+        observ_loglik = (batch_scale * jnp.sum(lp * m)
+                         / (s * m_total * lp.shape[-1]))
+        num_obs = m_total * lp.shape[-1]
 
     entropy = shooting_entropy(params.states)                    # (N, T-1)
-    constr = constraint_log_prob(params.constraint, ss[:, :, 1:, :],
-                                 pred[:, :, :-1, :]).sum(axis=3)  # (S, N, T-1)
-
-    scaled_constr = jnp.mean(constr, axis=0).sum() / num_obs
+    if idx is None:
+        constr = constraint_log_prob(params.constraint, ss[:, :, 1:, :],
+                                     pred[:, :, :-1, :]).sum(axis=3)  # (S,N,T-1)
+        scaled_constr = jnp.mean(constr, axis=0).sum() / num_obs
+    else:
+        constr = constraint_log_prob(params.constraint, ss_next,
+                                     pred).sum(axis=3)            # (S, N, K)
+        # Horvitz-Thompson: inclusion probability K/T per segment
+        scaled_constr = ((t / k) * jnp.mean(constr * has_next, axis=0).sum()
+                         / num_obs)
     scaled_entropy = entropy.sum() / num_obs
     x0_kl = initial_state_kl(params.states.x0) / num_obs
     ind_kl = gp.kl(params.gp) / num_obs

@@ -47,7 +47,8 @@ def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
     def loss(params, key, ys, ts):
         return shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,
                                   num_samples=args.num_samples,
-                                  state_sharding=ss_sharding, seg_mesh=mesh)
+                                  state_sharding=ss_sharding, seg_mesh=mesh,
+                                  segment_minibatch=args.segment_minibatch)
 
     def _update(params, opt_state, grads):
         if frozen_mask is not None:

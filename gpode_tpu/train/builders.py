@@ -59,6 +59,11 @@ class ModelArgs:
     # which keeps the scale frozen at 1e-3 for all iterations).
     constraint_anneal_iters: int = 0
     constraint_anneal_start: float = 0.1
+    # Stochastic segment minibatching (beyond-reference; 0 = off): integrate
+    # only K uniformly sampled shooting segments per step — O(K) step cost on
+    # arbitrarily long trajectories, unbiased ELBO estimator
+    # (`models/shooting.elbo_loss`).
+    segment_minibatch: int = 0
 
     def solver_config(self) -> SolverConfig:
         return SolverConfig(solver=self.solver, rtol=self.rtol, atol=self.atol,
@@ -169,13 +174,15 @@ def shooting_loss_fn(args: ModelArgs):
         def annealed(params, key, itr, ys, ts):
             return shooting.elbo_loss(key, anneal(params, itr), ys, ts, cfg,
                                       args.num_features,
-                                      num_samples=args.num_samples)
+                                      num_samples=args.num_samples,
+                                      segment_minibatch=args.segment_minibatch)
 
         return annealed
 
     def loss(params, key, ys, ts):
         return shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,
-                                  num_samples=args.num_samples)
+                                  num_samples=args.num_samples,
+                                  segment_minibatch=args.segment_minibatch)
 
     return loss
 

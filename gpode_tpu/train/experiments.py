@@ -51,6 +51,8 @@ class ExperimentArgs:
     # flag-gated constraint-scale annealing (0 = off; see ModelArgs)
     constraint_anneal_iters: int = 0
     constraint_anneal_start: float = 0.1
+    # stochastic segment minibatching (shooting only; 0 = off; see ModelArgs)
+    segment_minibatch: int = 0
     # data (`train_vdp_gpode.py:40-46`; mocap `train_mocap_gpode.py:47-52`)
     data_obs_s: int = 25
     data_obs_t: float = 7.0
@@ -120,7 +122,8 @@ class ExperimentArgs:
             constraint_trainable=self.constraint_trainable,
             constraint_initial_scale=self.constraint_initial_scale,
             constraint_anneal_iters=self.constraint_anneal_iters,
-            constraint_anneal_start=self.constraint_anneal_start)
+            constraint_anneal_start=self.constraint_anneal_start,
+            segment_minibatch=self.segment_minibatch)
 
 
 def _eval_cfg(cfg):
@@ -162,6 +165,11 @@ def _mesh_step_factory(args: ExperimentArgs, margs: ModelArgs, logger,
             "--mesh multi-chip training is wired for the shooting variants "
             "(the scale-out workload, SURVEY.md §2.3); drop --mesh or use "
             "the shooting driver")
+    if args.segment_minibatch > 0 and args.parallel == "shard_map":
+        raise ValueError(
+            "--segment_minibatch with --mesh needs --parallel gspmd (the "
+            "explicit-collective step integrates fixed per-device segment "
+            "blocks; the GSPMD step supports the subsampled estimator)")
     from gpode_tpu.parallel.mesh import make_mesh, parse_mesh_spec
     mesh = make_mesh(parse_mesh_spec(args.mesh))
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))

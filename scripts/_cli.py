@@ -144,6 +144,11 @@ def add_shooting_flags(p: argparse.ArgumentParser):
                    help="Initial (loose) constraint scale when annealing")
     p.add_argument("--num_samples", type=int, default=5,
                    help="Reparameterized MC samples per gradient step")
+    p.add_argument("--segment_minibatch", type=int, default=0,
+                   help="Integrate only K uniformly sampled shooting segments "
+                        "per step (0 = all, the reference behavior): O(K) "
+                        "step cost on long trajectories, unbiased ELBO "
+                        "estimator")
 
 
 def to_experiment_args(ns: argparse.Namespace) -> ExperimentArgs:

@@ -152,3 +152,87 @@ def test_neural_ode_baseline_learns_linear_system():
     assert float(terms.loss) < 0.1 * first
     pred = neural_ode.predict(params, x0, ts, cfg)
     assert float(jnp.mean(jnp.square(pred - ys))) < 0.05
+
+
+# --- stochastic segment minibatching (beyond-reference scaling feature) ----
+
+def _mb_setup(t=7):
+    from gpode_tpu.models import shooting
+    from gpode_tpu.train.builders import ModelArgs, build_shooting
+    args = ModelArgs(num_inducing=6, num_features=8, solver="rk4",
+                     ts_dense_scale=3, num_samples=3)
+    rng = np.random.default_rng(3)
+    ys = jnp.asarray(rng.normal(size=(2, t, 2)).astype(np.float32) * 0.4)
+    ts = jnp.linspace(0.0, 1.0, t)
+    params = build_shooting(jax.random.PRNGKey(0), args, np.asarray(ys))
+    return shooting, args, params, ys, ts
+
+
+def test_segment_minibatch_identity_batch_equals_plain():
+    """segment_idx = arange(T) runs the gather/Horvitz-Thompson formulation
+    over every segment — it must reproduce the plain ELBO (same key)."""
+    shooting, args, params, ys, ts = _mb_setup()
+    key = jax.random.PRNGKey(5)
+    cfg = args.solver_config()
+    plain, _ = shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,
+                                  num_samples=args.num_samples)
+    t = ys.shape[1]
+    full_idx, _ = shooting.elbo_loss(key, params, ys, ts, cfg,
+                                     args.num_features,
+                                     num_samples=args.num_samples,
+                                     segment_idx=jnp.arange(t))
+    np.testing.assert_allclose(float(full_idx), float(plain), rtol=1e-5)
+    # permutation invariance of the estimator at K = T
+    perm = jax.random.permutation(jax.random.PRNGKey(9), t)
+    permuted, _ = shooting.elbo_loss(key, params, ys, ts, cfg,
+                                     args.num_features,
+                                     num_samples=args.num_samples,
+                                     segment_idx=perm)
+    np.testing.assert_allclose(float(permuted), float(plain), rtol=1e-5)
+
+
+def test_segment_minibatch_unbiased_by_enumeration():
+    """K=1 enumerated over every segment: the average of the subsampled
+    estimators equals the full ELBO exactly (uniform inclusion for the
+    observation mean, T/K Horvitz-Thompson weights for the continuity sum,
+    analytic terms constant)."""
+    shooting, args, params, ys, ts = _mb_setup()
+    key = jax.random.PRNGKey(5)
+    cfg = args.solver_config()
+    plain, _ = shooting.elbo_loss(key, params, ys, ts, cfg, args.num_features,
+                                  num_samples=args.num_samples)
+    t = ys.shape[1]
+    losses = [float(shooting.elbo_loss(key, params, ys, ts, cfg,
+                                       args.num_features,
+                                       num_samples=args.num_samples,
+                                       segment_idx=jnp.asarray([i]))[0])
+              for i in range(t)]
+    np.testing.assert_allclose(np.mean(losses), float(plain), rtol=1e-5)
+
+
+def test_segment_minibatch_trains_and_is_random_per_step():
+    """The jitted random-subset path: finite losses, params move, and two
+    different keys integrate different segment subsets (different losses at
+    identical params)."""
+    import optax
+    from gpode_tpu.train.builders import shooting_loss_fn
+    from gpode_tpu.train.trainer import make_train_step
+    shooting, args, params, ys, ts = _mb_setup()
+    import dataclasses as dc
+    args = dc.replace(args, segment_minibatch=3)
+    loss_fn = shooting_loss_fn(args)
+    l1, _ = jax.jit(loss_fn)(params, jax.random.PRNGKey(1), ys, ts)
+    l2, _ = jax.jit(loss_fn)(params, jax.random.PRNGKey(2), ys, ts)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l1) != float(l2)
+
+    opt = optax.adam(1e-2)
+    step = make_train_step(loss_fn, opt)
+    p, s, k = params, opt.init(params), jax.random.PRNGKey(3)
+    for _ in range(5):
+        p, s, k, terms = step(p, s, k, ys, ts)
+    assert np.isfinite(float(terms.loss))
+    moved = sum(float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(params),
+                                jax.tree_util.tree_leaves(p)))
+    assert moved > 0

@@ -85,6 +85,29 @@ def test_sharded_train_step_updates_params():
     assert delta > 0
 
 
+def test_sharded_step_with_segment_minibatch():
+    """--segment_minibatch composes with --mesh --parallel gspmd: the
+    subsampled segment batch (K on the unsharded segment axis) integrates
+    inside the shard_map region, loss finite, params move."""
+    ys, ts = _data()
+    args = dataclasses.replace(_ARGS, segment_minibatch=3)
+    params = build_shooting(jax.random.PRNGKey(0), args, np.asarray(ys))
+    mesh = make_mesh({"dp": 2, "mc": 4})
+    opt = optax.adam(1e-2)
+    step = make_sharded_shooting_step(mesh, args, opt)
+
+    p = device_put_replicated(params, mesh)
+    s = device_put_replicated(opt.init(params), mesh)
+    k = device_put_replicated(jax.random.PRNGKey(3), mesh)
+    p2, _, _, terms = step(p, s, k, device_put_batch(ys, mesh),
+                           device_put_replicated(ts, mesh))
+    assert np.isfinite(float(terms.loss))
+    delta = sum(float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(p),
+                                jax.tree_util.tree_leaves(p2)))
+    assert delta > 0
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
