@@ -119,7 +119,8 @@ def run_reference(num_iter: int, seed: int = 121, shooting: bool = False):
                 train_seconds=train_time, ms_per_iter=train_time / num_iter * 1e3)
 
 
-def run_ours(num_iter: int, seed: int = 121, shooting: bool = False):
+def run_ours(num_iter: int, seed: int = 121, shooting: bool = False,
+             anneal_iters: int = 0):
     from gpode_tpu.models.gp import set_rff_reference_scale
     from gpode_tpu.train.experiments import ExperimentArgs, run_vdp
 
@@ -128,7 +129,8 @@ def run_ours(num_iter: int, seed: int = 121, shooting: bool = False):
         args = ExperimentArgs(solver="rk4", ts_dense_scale=2,
                               num_iter=num_iter, seed=seed, plots=False,
                               save="/tmp/parity_vdp_ours",
-                              checkpoint_every=0)
+                              checkpoint_every=0,
+                              constraint_anneal_iters=anneal_iters)
         t0 = time.time()
         params, trainer, metrics = run_vdp(args, shooting_variant=shooting)
         metrics = dict(metrics)
@@ -149,6 +151,9 @@ def main():
     ap.add_argument("--seed", type=int, default=121)
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--anneal_iters", type=int, default=0,
+                    help="ours-side constraint-scale annealing horizon "
+                         "(shooting only; 0 = reference behavior)")
     a = ap.parse_args()
 
     out = {"num_iter": a.num_iter, "shooting": a.shooting, "seed": a.seed}
@@ -159,7 +164,8 @@ def main():
         print(json.dumps(out["reference"], indent=2), flush=True)
     if not a.skip_ours:
         print("=== gpode_tpu (matched config) ===", flush=True)
-        out["ours"] = run_ours(a.num_iter, seed=a.seed, shooting=a.shooting)
+        out["ours"] = run_ours(a.num_iter, seed=a.seed, shooting=a.shooting,
+                               anneal_iters=a.anneal_iters)
         print(json.dumps(out["ours"], indent=2), flush=True)
     with open(a.out, "w") as f:
         json.dump(out, f, indent=2)
