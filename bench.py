@@ -171,20 +171,26 @@ def main():
     vs_baseline = 1.0
     cpu_steps = None
     if not cli.no_baseline and result["platform"] != "cpu":
-        # measure the CPU baseline in a subprocess (fresh backend); 9 iters =
-        # 3 median-filtered windows of 3 (the 5-iter single window of rounds
-        # 1-2 swung +-50% under host contention)
+        # measure the CPU baseline in a subprocess (fresh backend).
+        # measure_steps_per_sec times 3 windows of the full --iters count, so
+        # --iters 3 = 3 median-filtered windows of 3 = 9 CPU steps total (the
+        # 5-iter single window of rounds 1-2 swung +-50% under host
+        # contention; 27 steps of the scale config would blow the timeout)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--platform", "cpu",
-                 "--iters", "9", "--no-baseline", "--json-only"]
+                 "--iters", "3", "--no-baseline", "--json-only"]
                 + (["--scale"] if cli.scale else [])
                 + (["--fast"] if cli.fast else []),
                 capture_output=True, text=True, timeout=1800, check=True)
             cpu = json.loads(out.stdout.strip().splitlines()[-1])
             cpu_steps = cpu["value"]
             vs_baseline = result["steps_per_sec"] / cpu_steps
-        except Exception:
+        except Exception as e:
+            # vs_baseline 1.0 + null cpu_baseline_steps_per_sec in the JSON
+            # marks "baseline unavailable"; say why on stderr (the JSON line
+            # on stdout stays the single driver-facing artifact).
+            print(f"[bench] CPU baseline failed: {e!r}", file=sys.stderr)
             vs_baseline = 1.0
 
     payload = {

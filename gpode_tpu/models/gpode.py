@@ -97,12 +97,16 @@ def elbo_loss(key: jax.Array, params: GPODEParams, ys: jax.Array,
 
 def predict(key: jax.Array, params: GPODEParams, ts: jax.Array,
             cfg: SolverConfig, num_features: int, num_draws: int = 128,
-            x0: Optional[jax.Array] = None) -> jax.Array:
+            x0: Optional[jax.Array] = None,
+            t0_shift: Optional[float] = None) -> jax.Array:
     """Posterior-predictive latent trajectories: (S, N, T, D).
 
     With x0=None, each draw starts from a fresh q(x0) sample and ts is
     augmented with the t=0 point which is then dropped
-    (`model_builder.py:60-78`); with a given x0, ts is used as-is
+    (`model_builder.py:60-78`); `t0_shift` optionally pins the augmentation
+    shift to the TRAINING grid's first interval (required whenever ts is not
+    the training grid and its own first interval differs — nonuniform test
+    splits). With a given x0, ts is used as-is
     (`compute_test_predictions`, `model_builder.py:81-96`). All S draws run as
     ONE batched solve — each with its own function draw AND x0 sample,
     matching the reference's per-iteration `rebuild_cache=True` semantics
@@ -120,7 +124,12 @@ def predict(key: jax.Array, params: GPODEParams, ts: jax.Array,
             draw_keys)
 
     if x0 is None:
-        ts_aug = insert_zero_t0(ts)
+        # `t0_shift`: the training grid's first interval. The ELBO trains
+        # observation k to model time trn_ts[k] + dt_trn, so a grid with a
+        # DIFFERENT first interval (nonuniform test split) must be augmented
+        # with the training shift or every prediction is time-offset by
+        # dt_trn - dt_ts (see insert_zero_t0).
+        ts_aug = insert_zero_t0(ts, t0_shift)
         starts = jax.vmap(
             lambda k: sample_initial_state(k, params.x0, 1)[0])(x0_keys)
         xs, _ = flow_forward_batched(params.gp, draws, starts, ts_aug, cfg)

@@ -31,7 +31,8 @@ from gpode_tpu.models.likelihoods import likelihood_log_prob
 from gpode_tpu.models.shooting import ShootingELBOTerms, ShootingParams, integrate_segments
 from gpode_tpu.models.states import initial_state_kl, shooting_entropy
 from gpode_tpu.ops import math as om
-from gpode_tpu.train.builders import ModelArgs
+from gpode_tpu.train.builders import ModelArgs, constraint_annealer
+from gpode_tpu.train.trainer import make_step_bodies
 
 
 def _sample_local_states(key, states, n_lo, n_local, num_local):
@@ -150,37 +151,19 @@ def make_shard_map_shooting_step(mesh: Mesh, args: ModelArgs,
     rep = NamedSharding(mesh, P())
     data_shard = NamedSharding(mesh, P("dp"))
 
-    def _update(params, opt_state, grads):
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: jnp.zeros_like(g) if m else g, grads,
-                frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    anneal = constraint_annealer(args) if with_iteration else None
 
+    def loss_at(p, sub, itr, ys, ts):
+        if itr is not None and anneal is not None:
+            p = anneal(p, itr)
+        return loss_fn(p, sub, ys, ts)
+
+    # step bodies shared with the single-device and GSPMD steps
+    # (trainer.make_step_bodies); only the jit shardings differ
+    step, step_itr = make_step_bodies(loss_at, optimizer, frozen_mask)
     if with_iteration:
-        from gpode_tpu.train.builders import constraint_annealer
-        anneal = constraint_annealer(args)
-
-        @partial(jax.jit, in_shardings=(rep, rep, rep, rep, data_shard, rep),
-                 out_shardings=(rep, rep, rep, rep, rep))
-        def step_itr(params, opt_state, key, itr, ys, ts):
-            key, sub = jax.random.split(key)
-            (_, terms), grads = jax.value_and_grad(
-                lambda p: loss_fn(anneal(p, itr) if anneal is not None else p,
-                                  sub, ys, ts), has_aux=True)(params)
-            params, opt_state = _update(params, opt_state, grads)
-            return params, opt_state, key, itr + 1, terms
-
-        return step_itr
-
-    @partial(jax.jit, in_shardings=(rep, rep, rep, data_shard, rep),
-             out_shardings=(rep, rep, rep, rep))
-    def step(params, opt_state, key, ys, ts):
-        key, sub = jax.random.split(key)
-        (_, terms), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, sub, ys, ts), has_aux=True)(params)
-        params, opt_state = _update(params, opt_state, grads)
-        return params, opt_state, key, terms
-
-    return step
+        return partial(jax.jit,
+                       in_shardings=(rep, rep, rep, rep, data_shard, rep),
+                       out_shardings=(rep, rep, rep, rep, rep))(step_itr)
+    return partial(jax.jit, in_shardings=(rep, rep, rep, data_shard, rep),
+                   out_shardings=(rep, rep, rep, rep))(step)

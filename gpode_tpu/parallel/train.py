@@ -16,7 +16,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpode_tpu.models import shooting
 from gpode_tpu.parallel.mesh import batch_sharding, replicated, sample_sharding
-from gpode_tpu.train.builders import ModelArgs
+from gpode_tpu.train.builders import ModelArgs, constraint_annealer
+from gpode_tpu.train.trainer import make_step_bodies
 
 
 def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
@@ -50,40 +51,24 @@ def make_sharded_shooting_step(mesh: Mesh, args: ModelArgs,
                                   state_sharding=ss_sharding, seg_mesh=mesh,
                                   segment_minibatch=args.segment_minibatch)
 
-    def _update(params, opt_state, grads):
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g * 0 if m else g, grads, frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    anneal = constraint_annealer(args) if with_iteration else None
 
+    def loss_at(p, sub, itr, ys, ts):
+        if itr is not None and anneal is not None:
+            p = anneal(p, itr)
+        return loss(p, sub, ys, ts)
+
+    # the step bodies (split key -> value_and_grad -> frozen-grad zeroing ->
+    # optimizer update) are shared with the single-device and shard_map
+    # steps; only the jit shardings differ
+    step, step_itr = make_step_bodies(loss_at, optimizer, frozen_mask)
     if with_iteration:
-        from gpode_tpu.train.builders import constraint_annealer
-        anneal = constraint_annealer(args)
-
-        @partial(jax.jit,
-                 in_shardings=(rep, rep, rep, rep, data_shard, rep),
-                 out_shardings=(rep, rep, rep, rep, rep))
-        def step_itr(params, opt_state, key, itr, ys, ts):
-            key, sub = jax.random.split(key)
-            (_, terms), grads = jax.value_and_grad(
-                lambda p: loss(anneal(p, itr) if anneal is not None else p,
-                               sub, ys, ts), has_aux=True)(params)
-            params, opt_state = _update(params, opt_state, grads)
-            return params, opt_state, key, itr + 1, terms
-
-        return step_itr
-
-    @partial(jax.jit,
-             in_shardings=(rep, rep, rep, data_shard, rep),
-             out_shardings=(rep, rep, rep, rep))
-    def step(params, opt_state, key, ys, ts):
-        key, sub = jax.random.split(key)
-        (_, terms), grads = jax.value_and_grad(loss, has_aux=True)(params, sub, ys, ts)
-        params, opt_state = _update(params, opt_state, grads)
-        return params, opt_state, key, terms
-
-    return step
+        return partial(jax.jit,
+                       in_shardings=(rep, rep, rep, rep, data_shard, rep),
+                       out_shardings=(rep, rep, rep, rep, rep))(step_itr)
+    return partial(jax.jit,
+                   in_shardings=(rep, rep, rep, data_shard, rep),
+                   out_shardings=(rep, rep, rep, rep))(step)
 
 
 def device_put_replicated(tree, mesh: Mesh):

@@ -73,33 +73,15 @@ def show_vectorfield_posterior(gp_params, data, pred: np.ndarray, key=None,
 def show_longitudinal_per_sequence(data, pred: np.ndarray,
                                    noise_var: np.ndarray):
     """Per-sequence posterior/predictive band figures, displayed inline
-    (`src/misc/plot_utils.py:63-90`)."""
+    (`src/misc/plot_utils.py:63-90`). Shares the figure builder with
+    `plots_2d.plot_longitudinal_per_sequence`, including its skip semantics
+    for predictions beyond the data's sequence count."""
+    from gpode_tpu.plots.plots_2d import longitudinal_sequence_figure
+
     mean, var = pred.mean(0), pred.var(0)
-    d = mean.shape[-1]
     for n in range(mean.shape[0]):
-        fig, axs = plt.subplots(1, d, figsize=(8 * d, 3), squeeze=False)
-        for dim in range(d):
-            ax = axs[0, dim]
-            m, pv = mean[n, :, dim], var[n, :, dim]
-            sv = np.sqrt(pv + noise_var[dim % len(noise_var)])
-            ax.plot(data.tst.ts, m, c="r", alpha=0.7, zorder=3,
-                    label="predicted")
-            ax.fill_between(data.tst.ts, m - 2 * np.sqrt(pv),
-                            m + 2 * np.sqrt(pv), color="r", alpha=0.1,
-                            zorder=1, label="posterior")
-            ax.fill_between(data.tst.ts, m - 2 * sv, m + 2 * sv, color="b",
-                            alpha=0.1, zorder=0, label="predictive")
-            ax.plot(data.tst.ts, data.tst.ys[min(n, data.tst.ys.shape[0] - 1),
-                                             :, dim],
-                    c="k", alpha=0.7, zorder=2, label="true")
-            ax.scatter(data.trn.ts,
-                       data.trn.ys[min(n, data.trn.ys.shape[0] - 1), :, dim],
-                       c="k", s=100, marker=".", zorder=200,
-                       label="train obs")
-            ax.set_title(f"State {dim + 1}")
-            ax.set_xlabel("Time")
-        axs[0, -1].legend(loc="upper right", fontsize=8)
-        fig.suptitle("Predictive posterior")
+        longitudinal_sequence_figure(data, mean, var, noise_var, n,
+                                     "Predictive posterior")
         plt.show()
 
 

@@ -52,36 +52,50 @@ def plot_longitudinal(data, test_pred: np.ndarray, noise_var: np.ndarray,
     plt.close(fig)
 
 
+def longitudinal_sequence_figure(data, pred_mean: np.ndarray,
+                                 pred_var: np.ndarray, noise_var: np.ndarray,
+                                 n: int, title: str):
+    """One sequence's posterior/predictive band figure (the body of the
+    reference's per-n loop, `gpode/plots_2d.py:57-90`). Out-of-range n
+    (predictions without a matching data sequence) simply omit the
+    true-trajectory/train-obs overlays — NEVER substitutes another
+    sequence's ground truth."""
+    d = pred_mean.shape[-1]
+    fig, axs = plt.subplots(1, d, figsize=(8 * d, 3), squeeze=False)
+    for dim in range(d):
+        ax = axs[0, dim]
+        m, pv = pred_mean[n, :, dim], pred_var[n, :, dim]
+        sv = np.sqrt(pv + noise_var[dim % len(noise_var)])
+        ax.plot(data.tst.ts, m, c="r", alpha=0.7, zorder=3, label="predicted")
+        ax.fill_between(data.tst.ts, m - 2 * np.sqrt(pv),
+                        m + 2 * np.sqrt(pv), color="r", alpha=0.1,
+                        zorder=1, label="posterior")
+        ax.fill_between(data.tst.ts, m - 2 * sv, m + 2 * sv, color="b",
+                        alpha=0.1, zorder=0, label="predictive")
+        if n < data.tst.ys.shape[0]:
+            ax.plot(data.tst.ts, data.tst.ys[n, :, dim], c="k", alpha=0.7,
+                    zorder=2, label="true trajectory")
+        if n < data.trn.ys.shape[0]:
+            ax.scatter(data.trn.ts, data.trn.ys[n, :, dim], c="k", s=100,
+                       marker=".", zorder=200, label="train obs")
+        ax.set_title(f"State {dim + 1}")
+        ax.set_xlabel("Time")
+    axs[0, -1].legend(loc="upper right", fontsize=8)
+    fig.suptitle(title)
+    fig.subplots_adjust(wspace=0.2, hspace=0.2)
+    return fig
+
+
 def plot_longitudinal_per_sequence(data, test_pred: np.ndarray,
                                    noise_var: np.ndarray, save_dir: str):
     """One `plt_longitudinal_{n}.png` per sequence, matching the reference's
     artifact inventory (`gpode/plots_2d.py:57-90` loops over n): posterior and
     predictive bands per state dim, true trajectory and train obs overlaid."""
     pred_mean, pred_var = test_pred.mean(0), test_pred.var(0)
-    d = pred_mean.shape[-1]
     for n in range(pred_mean.shape[0]):
-        fig, axs = plt.subplots(1, d, figsize=(8 * d, 3), squeeze=False)
-        for dim in range(d):
-            ax = axs[0, dim]
-            m, pv = pred_mean[n, :, dim], pred_var[n, :, dim]
-            sv = np.sqrt(pv + noise_var[dim % len(noise_var)])
-            ax.plot(data.tst.ts, m, c="r", alpha=0.7, zorder=3)
-            ax.fill_between(data.tst.ts, m - 2 * np.sqrt(pv),
-                            m + 2 * np.sqrt(pv), color="r", alpha=0.1,
-                            zorder=1, label="posterior")
-            ax.fill_between(data.tst.ts, m - 2 * sv, m + 2 * sv, color="b",
-                            alpha=0.1, zorder=0, label="predictive")
-            if n < data.tst.ys.shape[0]:
-                ax.plot(data.tst.ts, data.tst.ys[n, :, dim], c="k", alpha=0.7,
-                        zorder=2, label="true trajectory")
-            if n < data.trn.ys.shape[0]:
-                ax.scatter(data.trn.ts, data.trn.ys[n, :, dim], c="k", s=100,
-                           marker=".", zorder=200, label="train obs")
-            ax.set_title(f"State {dim + 1}")
-            ax.set_xlabel("Time")
-        axs[0, -1].legend(loc="upper right", fontsize=8)
-        fig.suptitle("Predictive posterior for GPODE")
-        fig.subplots_adjust(wspace=0.2, hspace=0.2)
+        fig = longitudinal_sequence_figure(data, pred_mean, pred_var,
+                                           noise_var, n,
+                                           "Predictive posterior for GPODE")
         fig.savefig(os.path.join(save_dir, f"plt_longitudinal_{n}.png"),
                     dpi=120, bbox_inches="tight", pad_inches=0.2)
         plt.close(fig)

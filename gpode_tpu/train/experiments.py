@@ -281,9 +281,16 @@ def _eval_and_log(logger, data, params, margs, cfg, key, shooting_variant,
     vparams = gpode.GPODEParams(gp=params.gp, x0=x0_post,
                                 likelihood=params.likelihood)
     k1, k2 = jax.random.split(key)
+    # The model's time axis is set by TRAINING: observation k lives at model
+    # time trn_ts[k] + dt_trn (insert_zero_t0). The test grid must reuse the
+    # training shift — with VanderPolNonUniform's random grids, dt_tst can
+    # differ from dt_trn by ~0.7 time units and scoring at the test grid's
+    # own shift would compare truth(t) against prediction(t - 0.67).
+    dt_trn = float(np.asarray(data.trn.ts)[1] - np.asarray(data.trn.ts)[0])
     test_pred = np.asarray(gpode.predict(k1, vparams, test_ts, cfg,
                                          margs.num_features,
-                                         num_draws=eval_sample_size))
+                                         num_draws=eval_sample_size,
+                                         t0_shift=dt_trn))
     train_pred = np.asarray(gpode.predict(k2, vparams, train_ts, cfg,
                                           margs.num_features,
                                           num_draws=eval_sample_size))

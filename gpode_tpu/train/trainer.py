@@ -54,6 +54,47 @@ def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
     return jax.tree_util.tree_map_with_path(_mask, params)
 
 
+def make_step_bodies(loss_at: Callable,
+                     optimizer: optax.GradientTransformation,
+                     frozen_mask: Optional[Any] = None):
+    """The ONE copy of the train-step body, shared by the single-device step
+    and both sharded step styles (`parallel.train`, `parallel.shard_map_step`
+    wrap these in jit-with-shardings).
+
+    loss_at(params, sub_key, itr_or_None, *batch) -> (loss, aux-NamedTuple);
+    `itr` is None for the plain step and the device-side counter for the
+    iteration-threaded one (callers decide what the counter means — e.g.
+    constraint-scale annealing).
+
+    Returns (step, step_itr), both UNjitted:
+      step(params, opt_state, key, *batch) -> (params, opt_state, key, terms)
+      step_itr(..., key, itr, *batch) -> (..., key, itr + 1, terms)
+    """
+
+    def _update(params, opt_state, grads):
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def step(params, opt_state, key, *batch):
+        key, sub = jax.random.split(key)
+        (_, terms), grads = jax.value_and_grad(
+            lambda p: loss_at(p, sub, None, *batch), has_aux=True)(params)
+        params, opt_state = _update(params, opt_state, grads)
+        return params, opt_state, key, terms
+
+    def step_itr(params, opt_state, key, itr, *batch):
+        key, sub = jax.random.split(key)
+        (_, terms), grads = jax.value_and_grad(
+            lambda p: loss_at(p, sub, itr, *batch), has_aux=True)(params)
+        params, opt_state = _update(params, opt_state, grads)
+        return params, opt_state, key, itr + 1, terms
+
+    return step, step_itr
+
+
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                     frozen_mask: Optional[Any] = None,
                     with_iteration: bool = False):
@@ -68,35 +109,12 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
     without a per-step host->device transfer.
     """
 
-    @jax.jit
-    def step(params, opt_state, key, *batch):
-        key, sub = jax.random.split(key)
-        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, sub, *batch)
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, key, terms
+    def loss_at(p, sub, itr, *batch):
+        return (loss_fn(p, sub, *batch) if itr is None
+                else loss_fn(p, sub, itr, *batch))
 
-    if not with_iteration:
-        return step
-
-    @jax.jit
-    def step_itr(params, opt_state, key, itr, *batch):
-        key, sub = jax.random.split(key)
-        (_, terms), grads = jax.value_and_grad(
-            lambda p, k, *b: loss_fn(p, k, itr, *b), has_aux=True)(
-                params, sub, *batch)
-        if frozen_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, key, itr + 1, terms
-
-    return step_itr
+    step, step_itr = make_step_bodies(loss_at, optimizer, frozen_mask)
+    return jax.jit(step_itr if with_iteration else step)
 
 
 class Trainer:
@@ -219,8 +237,11 @@ class Trainer:
             expected = self.cfg.ncov_expected
             if expected:
                 worst = int(row["ncov"].min())
-                if worst < expected and iters[-1] > self._ncov_warned_at:
-                    self._ncov_warned_at = iters[-1]
+                # geometric backoff: a persistently starved run warns at
+                # iters ~1, ~10x, ~100x, ... instead of once per drain
+                # window (~470 repeats on a 30k-iter run at window 64)
+                if worst < expected and iters[-1] >= 10 * self._ncov_warned_at:
+                    self._ncov_warned_at = max(iters[-1], 1)
                     self._log(
                         f"WARNING: solver budget exhausted near iter "
                         f"{iters[-1]}: covered {worst}/{expected} observation "

@@ -118,3 +118,46 @@ def test_cfg_pallas_override_gates():
         assert _cfg_pallas_active(auto, params, 8) is False  # CPU backend
     finally:
         set_pallas_rhs(None)
+
+
+def test_predict_t0_shift_aligns_foreign_grids():
+    """Evaluation grids whose first interval differs from the training
+    grid's (VanderPolNonUniform test splits) must be augmented with the
+    TRAINING shift. predict(ts, t0_shift=dt_trn) must equal predict on the
+    pre-shifted grid ts + (dt_trn - dt_ts) without the override — both make
+    the solver see exactly [0, ts + dt_trn]."""
+    params, _ = _small_model()
+    cfg = SolverConfig(solver="dopri5", max_steps=256)
+    key = jax.random.PRNGKey(3)
+
+    # a "test grid" with a first interval very different from training's
+    ts_tst = jnp.asarray(np.sort(np.random.RandomState(1).uniform(
+        0.3, 3.0, size=10)), jnp.float32)
+    dt_trn = 0.5  # the training grid's first interval
+    dt_tst = float(ts_tst[1] - ts_tst[0])
+    assert abs(dt_trn - dt_tst) > 1e-3  # the scenario the fix targets
+
+    shifted_api = gpode.predict(key, params, ts_tst, cfg, 32, num_draws=3,
+                                t0_shift=dt_trn)
+
+    # oracle: predict's own key derivation + solve, on the explicitly
+    # augmented grid [0, ts + dt_trn] (bit-identical construction)
+    from gpode_tpu.models.flow import flow_forward_batched
+    chol = gp.precompute_chol(params.gp)
+    keys = jax.random.split(key, 3)
+    draw_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    x0_keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+    draws = jax.vmap(lambda k: gp.draw_posterior(k, params.gp, 32, chol))(
+        draw_keys)
+    starts = jax.vmap(lambda k: sample_initial_state(k, params.x0, 1)[0])(
+        x0_keys)
+    ts_aug = jnp.concatenate([jnp.zeros((1,), ts_tst.dtype),
+                              ts_tst + dt_trn])
+    expected, _ = flow_forward_batched(params.gp, draws, starts, ts_aug, cfg)
+    np.testing.assert_array_equal(np.asarray(shifted_api),
+                                  np.asarray(expected[:, :, 1:]))
+
+    # and WITHOUT the override the augmented grids genuinely differ --
+    # the misalignment the fix removes
+    unshifted = gpode.predict(key, params, ts_tst, cfg, 32, num_draws=3)
+    assert float(jnp.abs(shifted_api - unshifted).max()) > 1e-3
