@@ -159,9 +159,32 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
             dt_shrunk = dt * jnp.clip(
                 _SAFETY * (err_ratio + 1e-30) ** (-1.0 / _ORDER),
                 _DFACTOR, 1.0)
-            xs, st = odeint(rhs, x0, ts, solver="dopri5", rtol=cfg.rtol,
-                            atol=cfg.atol, max_steps=cfg.max_steps,
-                            first_step=jax.lax.stop_gradient(dt_shrunk))
+
+            # checkpoint the whole fallback solve: grad-of-cond materializes
+            # the residuals of BOTH branches as cond outputs, so without
+            # remat every train step zero-fills and carries the scan's
+            # (max_steps, rows, D) per-iteration stacks even when the
+            # attempt is accepted (device trace: six f32[8,3000,5]
+            # broadcasts + the cond overhead, ~0.25 ms of the 3.7 ms bench
+            # step). Rematerializing shrinks the untaken branch's residuals
+            # to its inputs; rejected segments (rare) recompute the short
+            # scan forward in the backward pass instead. The fallback's rhs
+            # pins to XLA: a pallas_call inside this checkpoint region gets
+            # its operands stacked on the kernel's scoped VMEM (16.1 MiB >
+            # the 16 MiB limit at the bench shape — the remat interaction
+            # PROFILE.md documents), and the rare branch's speed is
+            # irrelevant anyway.
+            def rhs_xla(t, x):
+                del t
+                return gp.eval_draw(gp_params, draw, x, False)
+
+            def _solve(x0_, dt0_):
+                return odeint(rhs_xla, x0_, ts, solver="dopri5",
+                              rtol=cfg.rtol, atol=cfg.atol,
+                              max_steps=cfg.max_steps, first_step=dt0_)
+
+            xs, st = jax.checkpoint(_solve)(
+                x0, jax.lax.stop_gradient(dt_shrunk))
             # the rejected attempt's 7 kernel evaluations still happened
             return xs[-1], ODEStats(
                 jnp.asarray(st.num_rhs_evals + 7, jnp.int32),
