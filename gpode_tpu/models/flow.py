@@ -68,7 +68,7 @@ def _cfg_pallas_active(cfg: SolverConfig, gp_params: gp.SVGPParams,
     if cfg.pallas is False:
         return False
     if cfg.pallas is True:
-        return gp_params.dimwise and jax.default_backend() == "tpu"
+        return gp_params.dimwise and gp._pallas_backend_ok()
     return gp.pallas_rhs_active(gp_params, n_rows)
 
 

@@ -231,12 +231,23 @@ def set_pallas_rhs(enabled: bool | None):
     _USE_PALLAS_RHS = enabled
 
 
+def _pallas_backend_ok() -> bool:
+    """Mosaic kernels need the TPU backend — except under the interpret-mode
+    test seam (`pallas_kernels.set_force_interpret`), which runs every kernel
+    through the Pallas interpreter so the CPU suite can exercise the
+    flow-level megakernel branches, not just the kernels in isolation."""
+    if jax.default_backend() == "tpu":
+        return True
+    from gpode_tpu.ops.pallas_kernels import force_interpret_active
+    return force_interpret_active()
+
+
 def pallas_rhs_active(params: SVGPParams, n_rows: int) -> bool:
     """Trace-time decision: would `eval_draw` take the fused Pallas kernel at
     this batch size? (Shared by the rk4 segment megakernel gate.)"""
     use = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
            else n_rows >= _PALLAS_RHS_MIN_ROWS)
-    return bool(use) and params.dimwise and jax.default_backend() == "tpu"
+    return bool(use) and params.dimwise and _pallas_backend_ok()
 
 
 def kernel_rff_weights(weights: jax.Array) -> jax.Array:
@@ -265,7 +276,7 @@ def eval_draw(params: SVGPParams, draw: PosteriorDraw, x: jax.Array,
     """
     if use_pallas is None:
         use_pallas = pallas_rhs_active(params, x.shape[0])
-    if use_pallas and params.dimwise and jax.default_backend() == "tpu":
+    if use_pallas and params.dimwise and _pallas_backend_ok():
         from gpode_tpu.ops.pallas_kernels import fused_rhs
         return fused_rhs(x, params.z, params.kernel.lengthscales,
                          params.kernel.variance, draw.omega, draw.phase,

@@ -39,6 +39,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE_N = 512
 
+# Test seam: force every kernel below into pallas interpret mode regardless
+# of the per-call flag, and (through the gp/flow gates, which consult
+# `force_interpret_active`) let the fused paths engage off-TPU. This is how
+# the CPU test suite exercises the FLOW-LEVEL megakernel branches — the
+# dopri5 attempt cond + checkpointed reject fallback, the rk4 segment path —
+# not just the kernels in isolation.
+_FORCE_INTERPRET = False
+
+
+def set_force_interpret(enabled: bool):
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = enabled
+
+
+def force_interpret_active() -> bool:
+    return _FORCE_INTERPRET
+
 # Scoped-VMEM budgets for auto tile sizing (the hardware limit is 16 MiB;
 # the estimates below run ~1.4x the compiler's actual stack allocation, so a
 # 16 MiB estimate budget usually lands well under the hardware limit).
@@ -136,7 +153,7 @@ def rbf_gram_pallas(x: jax.Array, z: jax.Array, lengthscales: jax.Array,
         out_specs=pl.BlockSpec((d, tile_n, m), lambda ni: (0, ni, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n_pad, m), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(x_p, z, inv_ls, var2d)
     return out[:, :n, :]
 
@@ -214,7 +231,7 @@ def _fused_rhs_forward(x, z, lengthscales, variance, omega, phase, weights, nu,
         out_specs=pl.BlockSpec((tile_n, d), lambda ni: (ni, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
     return out[:n]                                           # (N, D)
 
@@ -406,7 +423,7 @@ def _fused_rhs_bwd_pallas(x, z, lengthscales, variance, omega, phase, weights,
             jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
             jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
     dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
     return (dx[:n], dz, dls, dvar.reshape(variance.shape),
@@ -631,7 +648,7 @@ def _fused_rk4_forward(x, dt, z, lengthscales, variance, omega, phase,
         in_specs=_rk4_in_specs(tile_n, din, m, d, s),
         out_specs=out_specs if save_stages else out_specs[0],
         out_shape=out_shape if save_stages else out_shape[0],
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
     if save_stages:
         return outs[0][:n], outs[1][:, :n, :]
@@ -685,7 +702,7 @@ def _fused_rk4_bwd_pallas(xs, dt, z, lengthscales, variance, omega, phase,
             jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
             jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(dt2d, xs_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
     dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
     return (dx[:n], dz, dls, dvar.reshape(variance.shape),
@@ -890,7 +907,7 @@ def _fused_dp_forward(x, dt, z, lengthscales, variance, omega, phase, weights,
         in_specs=_rk4_in_specs(tile_n, din, m, d, s),
         out_specs=out_specs,
         out_shape=out_shape,
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(dt2d, x_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t)
     if save_stages:
         x5, err, xs = outs
@@ -957,7 +974,7 @@ def _fused_dp_bwd(rtol, atol, tile_n, interpret, residuals, gs):
             jax.ShapeDtypeStruct((d, 1, s), jnp.float32),
             jax.ShapeDtypeStruct((d, 1, m), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or _FORCE_INTERPRET,
     )(dt2d, xs_p, z, inv_ls, var2d, omega_t, phase_t, w_t, nu_t, g_p)
     dx, dz, dls, dvar, domega_t, dphase_t, dw_t, dnu_t = outs
     return (dx[:n], jnp.zeros_like(dt), dz, dls,

@@ -192,6 +192,72 @@ def test_fused_dopri5_attempt_gradients_match_reference():
                                    atol=5e-5, err_msg=name)
 
 
+def test_flow_level_megakernel_branches_under_force_interpret():
+    """Exercise the FLOW-LEVEL megakernel wiring on CPU via the
+    force-interpret seam (`pallas_kernels.set_force_interpret`).
+
+    The gates in `models/gp.py`/`models/flow.py` pin the fused paths to the
+    TPU backend, so without the seam the CPU suite only ever tests kernels in
+    isolation — the branch logic around them (the fused dopri5 attempt +
+    lax.cond checkpointed reject fallback with controller-shrunk seeding, the
+    rk4 segment megakernel dispatch) would first execute on real hardware.
+    Pins value AND gradient of each branch against the XLA path."""
+    import dataclasses
+
+    from gpode_tpu.models.flow import SolverConfig, flow_forward
+    from gpode_tpu.ops import pallas_kernels as pk
+    from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+
+    p = gp.init_svgp(jax.random.PRNGKey(0), 4, 4, 16, dimwise=True)
+    draw = gp.draw_posterior(jax.random.PRNGKey(1), p, 32)
+    x0 = jnp.asarray(
+        np.random.default_rng(3).normal(size=(48, 4)).astype(np.float32))
+
+    cases = {
+        "rk4-segment": (SolverConfig(solver="rk4", ts_dense_scale=3),
+                        jnp.array([0.0, 0.1])),
+        "dopri5-accepted": (SolverConfig(solver="dopri5",
+                                         first_step=FIRST_STEP_SPAN,
+                                         max_steps=8),
+                            jnp.array([0.0, 0.05])),
+        # a whole-span attempt at tight tolerance deterministically rejects
+        # -> the checkpointed scan fallback seeded with the shrunk dt
+        "dopri5-rejected": (SolverConfig(solver="dopri5",
+                                         first_step=FIRST_STEP_SPAN,
+                                         max_steps=128, rtol=1e-8, atol=1e-8),
+                            jnp.array([0.0, 1.0])),
+    }
+
+    pk.set_force_interpret(True)
+    gp.set_pallas_rhs(True)
+    try:
+        assert gp.pallas_rhs_active(p, x0.shape[0])  # the seam opens the gate
+        for name, (cfg, ts) in cases.items():
+            def loss(x0_, c):
+                xs, st = flow_forward(p, draw, x0_, ts, c)
+                return jnp.sum(jnp.sin(xs[:, -1])), st
+
+            (lp, st_p), g_p = jax.value_and_grad(loss, has_aux=True)(
+                x0, dataclasses.replace(cfg, pallas=True))
+            (lx, st_x), g_x = jax.value_and_grad(loss, has_aux=True)(
+                x0, dataclasses.replace(cfg, pallas=False))
+            np.testing.assert_allclose(float(lp), float(lx), rtol=2e-4,
+                                       atol=2e-5, err_msg=name)
+            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                       rtol=2e-3, atol=2e-4, err_msg=name)
+            assert int(st_p.num_covered) == 2, name  # no starved fallback
+            if name == "dopri5-accepted":
+                assert int(st_p.num_attempted) == 1, name
+            if name == "dopri5-rejected":
+                # the fallback really ran: the rejected attempt plus the
+                # scan's own attempts
+                assert int(st_p.num_attempted) >= 2, name
+                assert int(st_p.num_accepted) >= 1, name
+    finally:
+        pk.set_force_interpret(False)
+        gp.set_pallas_rhs(None)
+
+
 def test_fused_rhs_respects_reference_rff_scale():
     # the kernels hardcode the canonical sqrt(2 var/S); under the
     # reference-compat scale the convention folds into the weights
