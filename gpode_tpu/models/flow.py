@@ -178,6 +178,16 @@ def flow_forward(gp_params: gp.SVGPParams, draw: gp.PosteriorDraw,
                 del t
                 return gp.eval_draw(gp_params, draw, x, False)
 
+            # ALWAYS rematerialize the fallback's rhs too (independent of
+            # cfg.remat): the whole-solve checkpoint above shrinks the cond
+            # residuals, but the backward's recompute of the scan still
+            # stores per-iteration residuals for its own VJP — without this
+            # inner checkpoint those are the (max_steps, rows, S, D) phi
+            # stacks, 750 MB apiece at the 19200-row scale config (HBM OOM).
+            # With it the recompute stores only the (max_steps, rows, D)
+            # carries. The rare branch's extra FLOPs are irrelevant.
+            rhs_xla = jax.checkpoint(rhs_xla)
+
             def _solve(x0_, dt0_):
                 return odeint(rhs_xla, x0_, ts, solver="dopri5",
                               rtol=cfg.rtol, atol=cfg.atol,

@@ -258,6 +258,44 @@ def test_flow_level_megakernel_branches_under_force_interpret():
         gp.set_pallas_rhs(None)
 
 
+def test_dopri5_fallback_backward_memory_bounded():
+    """The reject fallback's backward recompute must NOT store per-iteration
+    (max_steps, rows, S, D) phi stacks — at the 19200-row scale config those
+    are 750 MB apiece and OOM the chip (the regression this pins: the
+    whole-solve checkpoint alone shrinks the cond residuals but the scan's
+    recompute still saved full rhs activations until the fallback rhs was
+    itself rematerialized). Compile-only check via memory_analysis on the
+    CPU backend; the phi stack at this shape is ~17 MB per tensor, so the
+    45 MB temp bound fails loudly if the inner checkpoint is lost."""
+    import dataclasses
+
+    from gpode_tpu.models.flow import SolverConfig, flow_forward
+    from gpode_tpu.ops import pallas_kernels as pk
+    from gpode_tpu.ops.ode import FIRST_STEP_SPAN
+
+    p = gp.init_svgp(jax.random.PRNGKey(0), 4, 4, 16, dimwise=True)
+    draw = gp.draw_posterior(jax.random.PRNGKey(1), p, 64)
+    x0 = jnp.zeros((2048, 4), jnp.float32)
+    ts = jnp.array([0.0, 0.1])
+    cfg = SolverConfig(solver="dopri5", first_step=FIRST_STEP_SPAN,
+                       max_steps=8, pallas=True)
+
+    def loss(x0_, params):
+        xs, _ = flow_forward(params, draw, x0_, ts, cfg)
+        return jnp.sum(xs[:, -1])
+
+    pk.set_force_interpret(True)
+    gp.set_pallas_rhs(True)
+    try:
+        compiled = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(
+            x0, p).compile()
+    finally:
+        pk.set_force_interpret(False)
+        gp.set_pallas_rhs(None)
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    assert temp < 45 * 1024 * 1024, f"fallback backward temp {temp/2**20:.1f} MiB"
+
+
 def test_fused_rhs_respects_reference_rff_scale():
     # the kernels hardcode the canonical sqrt(2 var/S); under the
     # reference-compat scale the convention folds into the weights
