@@ -45,6 +45,12 @@ DEFAULT_TILE_N = 512
 # the CPU test suite exercises the FLOW-LEVEL megakernel branches — the
 # dopri5 attempt cond + checkpointed reject fallback, the rk4 segment path —
 # not just the kernels in isolation.
+#
+# CAUTION: like `gp.set_pallas_rhs`, this is read at TRACE time and is not
+# part of any jit cache key. A function jitted while the seam is off keeps
+# its cached XLA-path executable after `set_force_interpret(True)` — build
+# fresh jitted closures after toggling (the tests do), or a coverage
+# assertion passes vacuously against the stale cache.
 _FORCE_INTERPRET = False
 
 

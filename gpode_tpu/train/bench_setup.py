@@ -1,0 +1,84 @@
+"""The canonical bench problem, defined ONCE.
+
+bench.py and the diagnostic scripts (capture_trace, profile_step,
+diag_memory, diag_hlo_customcalls) all analyze the same MoCap shooting
+configuration; previously each carried a copy of the dataset/ModelArgs/init
+block, so a config change had to be replicated four-plus times — and a
+missed copy silently diagnoses a different program than the one being
+benchmarked. This module is the single source of truth.
+
+Import lazily (inside main(), after jax.config updates) like the rest of
+the script bodies: importing here pulls in jax.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
+from gpode_tpu.models.init import (initialize_inducing,
+                                   initialize_kernel_parameters)
+from gpode_tpu.train.builders import ModelArgs, build_shooting
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_model_args(scale: bool = False, fast: bool = False) -> ModelArgs:
+    """The three graded bench configs (mutually exclusive flags)."""
+    if scale:
+        # BASELINE.md graded config 5: 256 inducing, 32 vmapped MC paths;
+        # remat keeps the 19200-segment backward inside HBM.
+        return ModelArgs(num_inducing=256, num_features=256, dimwise=True,
+                         solver="dopri5", ts_dense_scale=2, max_steps=8,
+                         first_step=-1.0, num_samples=32, remat=True)
+    if fast:
+        # rk4 with one step per interval: bit-identical losses to dopri5 on
+        # the dt=0.01 MoCap grid (which needs exactly one adaptive step) at
+        # higher throughput — the recommended production config.
+        return ModelArgs(num_inducing=100, num_features=256, dimwise=True,
+                         solver="rk4", ts_dense_scale=2, max_steps=8,
+                         num_samples=5)
+    return ModelArgs(num_inducing=100, num_features=256, dimwise=True,
+                     solver="dopri5", ts_dense_scale=2, max_steps=8,
+                     first_step=-1.0, num_samples=5)
+
+
+def build_bench_problem(scale: bool = False, fast: bool = False,
+                        args: ModelArgs | None = None,
+                        initialize: bool = True, data_dir: str | None = None):
+    """Build the bench model + data: returns (args, params, ys, ts).
+
+    MoCap subject 09, seqlen 100, 5 PCA latents, likelihood scored in the
+    50-D data space through the projector. `initialize` runs the kernel +
+    inducing initialization (compile-only diagnostics can skip it).
+    `args` overrides the graded config selection entirely.
+    """
+    if data_dir is None:
+        data_dir = os.path.join(_REPO_ROOT, "data/mocap")
+    data_pca = MocapDataset(data_path=data_dir, subject="09",
+                            pca_components=5, data_normalize=False,
+                            pca_normalize=True, seqlen=100)
+    data_full = MocapDataset(data_path=data_dir, subject="09",
+                             pca_components=-1, data_normalize=False,
+                             pca_normalize=False, seqlen=100)
+    projector = latent_to_data_projector(data_pca)
+
+    if args is None:
+        args = bench_model_args(scale=scale, fast=fast)
+    params = build_shooting(jax.random.PRNGKey(0), args, data_pca.trn.ys,
+                            projector=projector,
+                            full_dim=data_full.trn.ys.shape[-1])
+    if initialize:
+        params = params._replace(gp=initialize_kernel_parameters(params.gp))
+        params = params._replace(gp=initialize_inducing(
+            params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0,
+            rng=np.random.RandomState(0)))
+
+    ys = jnp.asarray(data_full.trn.ys)   # likelihood scored in 50-D data space
+    ts = jnp.asarray(data_pca.trn.ts)
+    return args, params, ys, ts

@@ -32,32 +32,14 @@ def main():
 
     import dataclasses
 
-    import jax.numpy as jnp
-    import numpy as np
+    from gpode_tpu.train.bench_setup import bench_model_args, build_bench_problem
+    from gpode_tpu.train.builders import shooting_loss_fn
 
-    from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
-    from gpode_tpu.train.builders import (ModelArgs, build_shooting,
-                                          shooting_loss_fn)
-
-    data_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data/mocap")
-    data_pca = MocapDataset(data_path=data_dir, subject="09", pca_components=5,
-                            data_normalize=False, pca_normalize=True,
-                            seqlen=100)
-    data_full = MocapDataset(data_path=data_dir, subject="09",
-                             pca_components=-1, data_normalize=False,
-                             pca_normalize=False, seqlen=100)
-    projector = latent_to_data_projector(data_pca)
-
-    m, s = (256, 32) if a.scale else (100, 5)
-    base = ModelArgs(num_inducing=m, num_features=256, dimwise=True,
-                     solver="dopri5", ts_dense_scale=2, max_steps=8,
-                     first_step=-1.0, num_samples=s)
-    params = build_shooting(jax.random.PRNGKey(0), base, data_pca.trn.ys,
-                            projector=projector,
-                            full_dim=data_full.trn.ys.shape[-1])
-    ys = jnp.asarray(data_full.trn.ys)
-    ts = jnp.asarray(data_pca.trn.ts)
+    # same graded configs as bench.py, but with the scale config's remat OFF:
+    # the taped-vs-remat-vs-adjoint comparison below toggles it per variant.
+    # AOT lower+compile only, so skip the device-side initialization.
+    base = dataclasses.replace(bench_model_args(scale=a.scale), remat=False)
+    base, params, ys, ts = build_bench_problem(args=base, initialize=False)
     key = jax.random.PRNGKey(1)
 
     variants = {

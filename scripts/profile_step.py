@@ -52,46 +52,18 @@ def main():
     import numpy as np
     import optax
 
-    from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
     from gpode_tpu.models import gp
-    from gpode_tpu.models.init import (initialize_inducing,
-                                       initialize_kernel_parameters)
-    from gpode_tpu.train.builders import (ModelArgs, build_shooting,
-                                          shooting_loss_fn)
+    from gpode_tpu.train.bench_setup import build_bench_problem
+    from gpode_tpu.train.builders import shooting_loss_fn
     from gpode_tpu.train.trainer import make_train_step
 
-    data_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data/mocap")
-    data_pca = MocapDataset(data_path=data_dir, subject="09", pca_components=5,
-                            data_normalize=False, pca_normalize=True, seqlen=100)
-    data_full = MocapDataset(data_path=data_dir, subject="09", pca_components=-1,
-                             data_normalize=False, pca_normalize=False, seqlen=100)
-    projector = latent_to_data_projector(data_pca)
-
-    if cli.scale:
-        args = ModelArgs(num_inducing=256, num_features=256, dimwise=True,
-                         solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         first_step=-1.0, num_samples=32, remat=True)
-    else:
-        args = ModelArgs(num_inducing=100, num_features=256, dimwise=True,
-                         solver="dopri5", ts_dense_scale=2, max_steps=8,
-                         first_step=-1.0, num_samples=5)
-
-    params = build_shooting(jax.random.PRNGKey(0), args, data_pca.trn.ys,
-                            projector=projector,
-                            full_dim=data_full.trn.ys.shape[-1])
-    params = params._replace(gp=initialize_kernel_parameters(params.gp))
-    params = params._replace(gp=initialize_inducing(
-        params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0,
-        rng=np.random.RandomState(0)))
-
-    ys = jnp.asarray(data_full.trn.ys)
-    ts = jnp.asarray(data_pca.trn.ts)
+    args, params, ys, ts = build_bench_problem(scale=cli.scale)
     loss_fn = shooting_loss_fn(args)
     key = jax.random.PRNGKey(1)
 
     # rhs batch at the in-solver shape: S draws x (N*(T-1)) segments, dim D
-    n_seq, t_len, d_lat = data_pca.trn.ys.shape
+    n_seq, t_len = ys.shape[0], ys.shape[1]
+    d_lat = params.states.mean.shape[-1]
     rows = args.num_samples * n_seq * (t_len - 1)
     x_batch = jnp.asarray(np.random.RandomState(2).randn(rows, d_lat),
                           jnp.float32)

@@ -211,40 +211,50 @@ def test_flow_level_megakernel_branches_under_force_interpret():
     p = gp.init_svgp(jax.random.PRNGKey(0), 4, 4, 16, dimwise=True)
     draw = gp.draw_posterior(jax.random.PRNGKey(1), p, 32)
     x0 = jnp.asarray(
-        np.random.default_rng(3).normal(size=(48, 4)).astype(np.float32))
+        np.random.default_rng(3).normal(size=(32, 4)).astype(np.float32))
 
+    # gradients are compared only on the dopri5 cases — the cond/checkpoint
+    # wiring is what this test owns; the rk4 flow path is a direct kernel
+    # call whose gradients test_fused_rk4_segment_gradients_match_reference
+    # already pins (interpret-mode grad traces dominate this test's cost).
     cases = {
         "rk4-segment": (SolverConfig(solver="rk4", ts_dense_scale=3),
-                        jnp.array([0.0, 0.1])),
+                        jnp.array([0.0, 0.1]), False),
         "dopri5-accepted": (SolverConfig(solver="dopri5",
                                          first_step=FIRST_STEP_SPAN,
                                          max_steps=8),
-                            jnp.array([0.0, 0.05])),
+                            jnp.array([0.0, 0.05]), True),
         # a whole-span attempt at tight tolerance deterministically rejects
         # -> the checkpointed scan fallback seeded with the shrunk dt
         "dopri5-rejected": (SolverConfig(solver="dopri5",
                                          first_step=FIRST_STEP_SPAN,
-                                         max_steps=128, rtol=1e-8, atol=1e-8),
-                            jnp.array([0.0, 1.0])),
+                                         max_steps=64, rtol=1e-7, atol=1e-7),
+                            jnp.array([0.0, 0.5]), True),
     }
 
     pk.set_force_interpret(True)
     gp.set_pallas_rhs(True)
     try:
         assert gp.pallas_rhs_active(p, x0.shape[0])  # the seam opens the gate
-        for name, (cfg, ts) in cases.items():
+        for name, (cfg, ts, check_grad) in cases.items():
             def loss(x0_, c):
                 xs, st = flow_forward(p, draw, x0_, ts, c)
                 return jnp.sum(jnp.sin(xs[:, -1])), st
 
-            (lp, st_p), g_p = jax.value_and_grad(loss, has_aux=True)(
-                x0, dataclasses.replace(cfg, pallas=True))
-            (lx, st_x), g_x = jax.value_and_grad(loss, has_aux=True)(
-                x0, dataclasses.replace(cfg, pallas=False))
+            cfg_p = dataclasses.replace(cfg, pallas=True)
+            cfg_x = dataclasses.replace(cfg, pallas=False)
+            if check_grad:
+                (lp, st_p), g_p = jax.value_and_grad(loss, has_aux=True)(
+                    x0, cfg_p)
+                (lx, st_x), g_x = jax.value_and_grad(loss, has_aux=True)(
+                    x0, cfg_x)
+                np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                           rtol=2e-3, atol=2e-4, err_msg=name)
+            else:
+                lp, st_p = loss(x0, cfg_p)
+                lx, st_x = loss(x0, cfg_x)
             np.testing.assert_allclose(float(lp), float(lx), rtol=2e-4,
                                        atol=2e-5, err_msg=name)
-            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
-                                       rtol=2e-3, atol=2e-4, err_msg=name)
             assert int(st_p.num_covered) == 2, name  # no starved fallback
             if name == "dopri5-accepted":
                 assert int(st_p.num_attempted) == 1, name
@@ -265,8 +275,9 @@ def test_dopri5_fallback_backward_memory_bounded():
     whole-solve checkpoint alone shrinks the cond residuals but the scan's
     recompute still saved full rhs activations until the fallback rhs was
     itself rematerialized). Compile-only check via memory_analysis on the
-    CPU backend; the phi stack at this shape is ~17 MB per tensor, so the
-    45 MB temp bound fails loudly if the inner checkpoint is lost."""
+    CPU backend; the phi stack at this shape is ~8 MB per tensor (several of
+    them), so the 20 MB temp bound fails loudly if the inner checkpoint is
+    lost."""
     import dataclasses
 
     from gpode_tpu.models.flow import SolverConfig, flow_forward
@@ -275,7 +286,7 @@ def test_dopri5_fallback_backward_memory_bounded():
 
     p = gp.init_svgp(jax.random.PRNGKey(0), 4, 4, 16, dimwise=True)
     draw = gp.draw_posterior(jax.random.PRNGKey(1), p, 64)
-    x0 = jnp.zeros((2048, 4), jnp.float32)
+    x0 = jnp.zeros((1024, 4), jnp.float32)
     ts = jnp.array([0.0, 0.1])
     cfg = SolverConfig(solver="dopri5", first_step=FIRST_STEP_SPAN,
                        max_steps=8, pallas=True)
@@ -293,7 +304,7 @@ def test_dopri5_fallback_backward_memory_bounded():
         pk.set_force_interpret(False)
         gp.set_pallas_rhs(None)
     temp = compiled.memory_analysis().temp_size_in_bytes
-    assert temp < 45 * 1024 * 1024, f"fallback backward temp {temp/2**20:.1f} MiB"
+    assert temp < 20 * 1024 * 1024, f"fallback backward temp {temp/2**20:.1f} MiB"
 
 
 def test_fused_rhs_respects_reference_rff_scale():
