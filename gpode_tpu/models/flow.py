@@ -68,7 +68,16 @@ def _cfg_pallas_active(cfg: SolverConfig, gp_params: gp.SVGPParams,
     if cfg.pallas is False:
         return False
     if cfg.pallas is True:
-        return gp_params.dimwise and gp._pallas_backend_ok()
+        active = gp_params.dimwise and gp._pallas_backend_ok()
+        if not active:
+            import logging
+
+            reason = ("dimwise=False (kernels are dimwise-only)"
+                      if not gp_params.dimwise else "backend is not TPU")
+            gp._log_once(logging.WARNING,
+                         f"SolverConfig(pallas=True) dropped: {reason} — "
+                         f"XLA rhs used for this solve")
+        return active
     return gp.pallas_rhs_active(gp_params, n_rows)
 
 
@@ -233,6 +242,19 @@ def flow_forward_batched(gp_params: gp.SVGPParams, draws: gp.PosteriorDraw,
     """
     from gpode_tpu.ops.ode import max_rms_over_axis0
 
+    if cfg.use_adjoint:
+        # the batched path is the forward-only eval route; continuous-adjoint
+        # gradients are a train-path strategy (flow_forward handles it). Warn
+        # instead of silently ignoring the flag — if gradients are taken
+        # through this solve they flow by autodiff-through-solver, with
+        # cfg.remat as the memory knob.
+        import warnings
+
+        warnings.warn(
+            "flow_forward_batched does not implement use_adjoint; gradients "
+            "(if any) flow by autodiff-through-solver. Set remat=True to "
+            "bound backward memory for large draw batches.", stacklevel=2)
+
     use_pallas = False if cfg.solver == "bdf" else cfg.pallas
 
     def rhs(t, x):
@@ -240,6 +262,17 @@ def flow_forward_batched(gp_params: gp.SVGPParams, draws: gp.PosteriorDraw,
         return jax.vmap(
             lambda dr, xi: gp.eval_draw(gp_params, dr, xi, use_pallas))(
                 draws, x)
+
+    if cfg.remat:
+        # without this, differentiating a many-draw batched solve tapes every
+        # rhs stage's (S, N, S_rff, D) features — the 128-draw eval at the
+        # M=256 scale config has no other memory knob (VERDICT r3 item 3).
+        # Known JAX limitation: scan still stacks the checkpointed rhs's
+        # loop-INVARIANT residuals (the draw leaves) per budget iteration
+        # instead of hoisting them, so the remat'd backward costs
+        # O(max_steps * draw_bytes) — a ~5x cut vs untaped at probe shapes,
+        # not O(1). Forward-only eval (the product path) tapes nothing.
+        rhs = jax.checkpoint(rhs)
 
     xs, stats = odeint(rhs, x0, ts, solver=cfg.solver, rtol=cfg.rtol,
                        atol=cfg.atol, substeps=cfg.substeps,

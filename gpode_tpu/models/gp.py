@@ -24,6 +24,7 @@ Architectural differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Optional
 
 import jax
@@ -209,12 +210,37 @@ _PALLAS_RHS_MIN_ROWS = 256
 # reproduce the reference's ELBO trajectories exactly.
 _RFF_SCALE_FACTOR = 2.0
 
+_logger = logging.getLogger("gpode_tpu.gp")
+# Telemetry dedupe: trace-time fallback decisions log once per distinct
+# message per process (a decision fires on every trace; without dedupe a
+# retraced eval loop would spam the log).
+_PALLAS_FALLBACK_LOGGED: set = set()
+
+
+def _log_once(level: int, msg: str):
+    if msg not in _PALLAS_FALLBACK_LOGGED:
+        _PALLAS_FALLBACK_LOGGED.add(msg)
+        _logger.log(level, msg)
+
+
+def _invalidate_jit_caches():
+    """The Pallas/RFF toggles below are read at TRACE time: a function jitted
+    before a toggle would keep serving its stale compiled path. Dropping the
+    jit caches forces every live jitted closure to retrace on its next call,
+    so the toggles behave like real configuration instead of
+    trace-order-dependent globals. Toggles are rare config-scope events; the
+    recompiles they trigger are the price of correctness."""
+    jax.clear_caches()
+
 
 def set_rff_reference_scale(enabled: bool):
     """True -> reproduce the reference's sqrt(var/S) RFF scaling (its prior
     samples carry variance var/2); False (default) -> canonical sqrt(2var/S)."""
     global _RFF_SCALE_FACTOR
-    _RFF_SCALE_FACTOR = 1.0 if enabled else 2.0
+    new = 1.0 if enabled else 2.0
+    if new != _RFF_SCALE_FACTOR:
+        _RFF_SCALE_FACTOR = new
+        _invalidate_jit_caches()
 
 
 def set_pallas_rhs(enabled: bool | None):
@@ -226,9 +252,15 @@ def set_pallas_rhs(enabled: bool | None):
 
     True forces the kernel for every dimwise eval, False forces the XLA path,
     None (the default) picks per call site by batch size at trace time.
+
+    Already-jitted functions pick up the new setting on their next call (the
+    setter drops the jit caches — the toggle participates in compilation
+    like a real config value, at the cost of recompiles after a change).
     """
     global _USE_PALLAS_RHS
-    _USE_PALLAS_RHS = enabled
+    if enabled is not _USE_PALLAS_RHS:
+        _USE_PALLAS_RHS = enabled
+        _invalidate_jit_caches()
 
 
 def _pallas_backend_ok() -> bool:
@@ -244,10 +276,40 @@ def _pallas_backend_ok() -> bool:
 
 def pallas_rhs_active(params: SVGPParams, n_rows: int) -> bool:
     """Trace-time decision: would `eval_draw` take the fused Pallas kernel at
-    this batch size? (Shared by the rk4 segment megakernel gate.)"""
-    use = (_USE_PALLAS_RHS if _USE_PALLAS_RHS is not None
-           else n_rows >= _PALLAS_RHS_MIN_ROWS)
-    return bool(use) and params.dimwise and _pallas_backend_ok()
+    this batch size? (Shared by the rk4 segment megakernel gate.)
+
+    Dropped fast paths are logged once per distinct reason — a user who set
+    `--pallas_rhs true` (or relies on the auto rule) should not silently land
+    on the XLA path because of `dimwise=False`, a small batch, or a non-TPU
+    backend.
+    """
+    if _USE_PALLAS_RHS is False:
+        return False  # explicitly pinned to XLA: no telemetry needed
+    auto = _USE_PALLAS_RHS is None
+    want = n_rows >= _PALLAS_RHS_MIN_ROWS if auto else True
+    if not want:
+        if params.dimwise and _pallas_backend_ok():
+            _log_once(logging.INFO,
+                      f"Pallas rhs auto rule: batch of {n_rows} rows < "
+                      f"{_PALLAS_RHS_MIN_ROWS} — taking the XLA path (XLA "
+                      f"fusions beat kernel dispatch at small batches; force "
+                      f"with set_pallas_rhs(True) / --pallas_rhs true)")
+        return False
+    mode = "auto rule" if auto else "forced True"
+    if not params.dimwise:
+        _log_once(logging.WARNING,
+                  f"Pallas rhs {mode} dropped: the fused kernel is "
+                  f"dimwise-only and this GP has dimwise=False — falling "
+                  f"back to the XLA rhs for the whole solve")
+        return False
+    if not _pallas_backend_ok():
+        if not auto:
+            _log_once(logging.WARNING,
+                      "Pallas rhs forced True but the default backend is not "
+                      "TPU (and the interpret seam is off) — falling back to "
+                      "the XLA rhs")
+        return False
+    return True
 
 
 def kernel_rff_weights(weights: jax.Array) -> jax.Array:

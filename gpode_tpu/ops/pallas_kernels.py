@@ -46,17 +46,18 @@ DEFAULT_TILE_N = 512
 # dopri5 attempt cond + checkpointed reject fallback, the rk4 segment path —
 # not just the kernels in isolation.
 #
-# CAUTION: like `gp.set_pallas_rhs`, this is read at TRACE time and is not
-# part of any jit cache key. A function jitted while the seam is off keeps
-# its cached XLA-path executable after `set_force_interpret(True)` — build
-# fresh jitted closures after toggling (the tests do), or a coverage
-# assertion passes vacuously against the stale cache.
+# Like `gp.set_pallas_rhs`, this is read at TRACE time. The setter drops the
+# jit caches on a change, so already-jitted closures retrace through the new
+# path on their next call — no stale-executable footgun (pinned by
+# tests/test_pallas.py::test_toggles_invalidate_jit_caches).
 _FORCE_INTERPRET = False
 
 
 def set_force_interpret(enabled: bool):
     global _FORCE_INTERPRET
-    _FORCE_INTERPRET = enabled
+    if bool(enabled) != _FORCE_INTERPRET:
+        _FORCE_INTERPRET = bool(enabled)
+        jax.clear_caches()
 
 
 def force_interpret_active() -> bool:

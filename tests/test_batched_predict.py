@@ -11,6 +11,7 @@ single-solve levels even when one member of the batch is much stiffer.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpode_tpu.models import gp, gpode
 from gpode_tpu.models.flow import SolverConfig, flow_forward_sampled
@@ -36,6 +37,7 @@ def _small_model():
     return params, jnp.linspace(0.0, 3.0, 12)
 
 
+@pytest.mark.slow
 def test_batched_predict_matches_per_draw_vmap():
     params, ts = _small_model()
     cfg = SolverConfig(solver="dopri5", max_steps=256)
@@ -120,6 +122,96 @@ def test_cfg_pallas_override_gates():
         set_pallas_rhs(None)
 
 
+@pytest.mark.slow
+def test_batched_remat_honored_and_adjoint_warns():
+    """VERDICT r3 item 3: `flow_forward_batched` must thread cfg.remat into
+    the batched rhs (identical values/gradients, strictly smaller compiled
+    backward temp footprint) and must not silently ignore use_adjoint."""
+    import dataclasses
+    import warnings
+
+    import pytest
+
+    from gpode_tpu.models.flow import flow_forward_batched
+
+    params, ts = _small_model()
+    chol = gp.precompute_chol(params.gp)
+    num_draws = 8
+    keys = jax.random.split(jax.random.PRNGKey(0), num_draws)
+    draws = jax.vmap(lambda k: gp.draw_posterior(k, params.gp, 64, chol))(keys)
+    x0 = jnp.broadcast_to(jnp.asarray([[1.0, 0.0], [0.0, 1.0]]),
+                          (num_draws, 2, 2))
+
+    cfg_plain = SolverConfig(solver="dopri5", max_steps=32)
+    cfg_remat = dataclasses.replace(cfg_plain, remat=True)
+
+    def make_loss(cfg):
+        def loss(x0_):
+            xs, _ = flow_forward_batched(params.gp, draws, x0_, ts, cfg)
+            return jnp.sum(jnp.sin(xs))
+        return loss
+
+    v1, g1 = jax.value_and_grad(make_loss(cfg_plain))(x0)
+    v2, g2 = jax.value_and_grad(make_loss(cfg_remat))(x0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+    def temp_bytes(cfg):
+        compiled = jax.jit(jax.grad(make_loss(cfg))).lower(x0).compile()
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    t_plain, t_remat = temp_bytes(cfg_plain), temp_bytes(cfg_remat)
+    # plain taping stores per-iteration (S_draw, N, S_rff, D) feature stacks;
+    # the checkpointed rhs stores only the small solver carries
+    assert t_remat < t_plain, (t_remat, t_plain)
+
+    cfg_adj = dataclasses.replace(cfg_plain, use_adjoint=True)
+    with pytest.warns(UserWarning, match="use_adjoint"):
+        flow_forward_batched(params.gp, draws, x0, ts, cfg_adj)
+    # remat path must stay warning-free
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        flow_forward_batched(params.gp, draws, x0, ts, cfg_remat)
+
+
+@pytest.mark.slow
+def test_batched_eval_memory_bounded_scale_shape():
+    """Compile-only memory regression for the 128-draw eval at the scale
+    config (M=256, S_rff=256, D=5 — the VERDICT r3 item 3 shape): the
+    forward solve's temp footprint must stay at transient-tile scale, not
+    materialize (draws, N, S_rff, D) stage stacks across iterations, and the
+    remat'd backward must stay far below the untaped footprint.
+
+    Known JAX-level limitation documented here: under reverse-mode AD,
+    `scan` stacks the checkpointed rhs's loop-INVARIANT residuals (the draw
+    leaves) once per budget iteration instead of hoisting them — so the
+    remat'd backward scales with max_steps * draw-bytes (57 MiB at the small
+    probe shape vs 293 MiB untaped). The product eval path is forward-only,
+    where the footprint is ~1 MiB."""
+    from gpode_tpu.models.flow import flow_forward_batched
+
+    num_draws, n, d, m, s_rff = 128, 2, 5, 256, 256
+    p = gp.init_svgp(jax.random.PRNGKey(0), d, d, m, dimwise=True)
+    chol = gp.precompute_chol(p)
+    keys = jax.random.split(jax.random.PRNGKey(1), num_draws)
+    draws = jax.vmap(lambda k: gp.draw_posterior(k, p, s_rff, chol))(keys)
+    x0 = jnp.zeros((num_draws, n, d), jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    cfg = SolverConfig(solver="dopri5", max_steps=256, remat=True)
+
+    def solve(x0_):
+        xs, _ = flow_forward_batched(p, draws, x0_, ts, cfg)
+        return xs
+
+    compiled = jax.jit(solve).lower(x0).compile()
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    # a single taped phi stack would be max_steps * draws * n * s_rff * d *
+    # 4B = 320 MiB; the forward solve must stay at transient-buffer scale
+    assert temp < 64 * 1024 * 1024, f"batched eval forward temp {temp/2**20:.1f} MiB"
+
+
+@pytest.mark.slow
 def test_predict_t0_shift_aligns_foreign_grids():
     """Evaluation grids whose first interval differs from the training
     grid's (VanderPolNonUniform test splits) must be augmented with the
