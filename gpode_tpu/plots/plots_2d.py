@@ -18,6 +18,29 @@ from gpode_tpu.models import gp as gp_mod
 from gpode_tpu.ops import math as om
 from gpode_tpu.ops.kernels import rbf_K
 
+# The reference's `make_plot=True` interactive display mode
+# (`src/gpode/plots_2d.py:85-90`, `src/misc/plot_utils.py`): every plot
+# function routes through `finish_figure`, which shows instead of saving
+# when the switch is on.
+_DISPLAY_MODE = False
+
+
+def set_display_mode(enabled: bool):
+    """True -> plot functions `plt.show()` figures instead of saving them
+    (the reference's `make_plot=True` switch); False (default) -> save PNGs
+    into `save_dir`."""
+    global _DISPLAY_MODE
+    _DISPLAY_MODE = bool(enabled)
+
+
+def finish_figure(fig, save_dir: str, fname: str, dpi: int = 120, **savefig_kwargs):
+    """Show (display mode) or save-and-close a finished figure."""
+    if _DISPLAY_MODE:
+        plt.show()
+        return
+    fig.savefig(os.path.join(save_dir, fname), dpi=dpi, **savefig_kwargs)
+    plt.close(fig)
+
 
 def plot_longitudinal(data, test_pred: np.ndarray, noise_var: np.ndarray,
                       save_dir: str, fname: str = "plt_longitudinal.png"):
@@ -48,8 +71,7 @@ def plot_longitudinal(data, test_pred: np.ndarray, noise_var: np.ndarray,
     axs[0].legend(loc="upper right", fontsize=8)
     axs[-1].set_xlabel("time")
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def longitudinal_sequence_figure(data, pred_mean: np.ndarray,
@@ -96,9 +118,8 @@ def plot_longitudinal_per_sequence(data, test_pred: np.ndarray,
         fig = longitudinal_sequence_figure(data, pred_mean, pred_var,
                                            noise_var, n,
                                            "Predictive posterior for GPODE")
-        fig.savefig(os.path.join(save_dir, f"plt_longitudinal_{n}.png"),
-                    dpi=120, bbox_inches="tight", pad_inches=0.2)
-        plt.close(fig)
+        finish_figure(fig, save_dir, f"plt_longitudinal_{n}.png",
+                      bbox_inches="tight", pad_inches=0.2)
 
 
 def _grid(data, grid_size=30):
@@ -132,9 +153,7 @@ def plot_vectorfield(gp_params, data, test_pred: np.ndarray, save_dir: str,
     fig = vectorfield_3panel_figure(gp_params, data, test_pred,
                                     grid_size=grid_size, key=key,
                                     num_features=num_features)
-    fig.savefig(os.path.join(save_dir, fname), dpi=120,
-                bbox_inches="tight", pad_inches=0.01)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname, bbox_inches="tight", pad_inches=0.01)
 
 
 def vectorfield_3panel_figure(gp_params, data, test_pred: np.ndarray,
@@ -237,8 +256,7 @@ def plot_inducing_posterior(gp_params, data, save_dir: str,
     ax.set_ylim(data.ylim)
     ax.legend()
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def plot_model_initialization(gp_params, data, save_dir: str, fname: str):
@@ -254,8 +272,7 @@ def plot_model_initialization(gp_params, data, save_dir: str, fname: str):
     ax.quiver(z[:, 0], z[:, 1], u[:, 0], u[:, 1], color="tab:blue", angles="xy")
     ax.scatter(data.trn.ys[:, :, 0], data.trn.ys[:, :, 1], c="k", s=6)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def plot_shooting_initialization(key, params, data, cfg, num_features: int,
@@ -302,8 +319,7 @@ def plot_shooting_initialization(key, params, data, cfg, num_features: int,
     ax.set_xticks([]), ax.set_yticks([])
     ax.legend(loc="upper right", fontsize=8)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def _long_pred_panel(ax, ts, data_seq, pred_seq, noise_var=None):
@@ -341,8 +357,7 @@ def plot_long_pred(data_ys: np.ndarray, pred: np.ndarray, ts: np.ndarray,
                 axs[i, j].set_xlabel("time")
         axs[i, -1].legend(loc="lower left", fontsize=8)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, name), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, name)
 
 
 def plot_long_pred_single(data_ys: np.ndarray, pred: np.ndarray,
@@ -360,8 +375,7 @@ def plot_long_pred_single(data_ys: np.ndarray, pred: np.ndarray,
         axs[0, j].set_xlabel("time")
     axs[0, -1].legend(loc="lower left", fontsize=8)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, name), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, name)
 
 
 def plot_node_longitudinal(data, test_pred: np.ndarray, save_dir: str,
@@ -383,8 +397,7 @@ def plot_node_longitudinal(data, test_pred: np.ndarray, save_dir: str,
     axs[0, -1].legend(loc="upper right", fontsize=8)
     fig.suptitle("Predictive plot for NeuralODE")
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def plot_node_vectorfield(rhs_fn, data, test_pred: np.ndarray, save_dir: str,
@@ -417,8 +430,7 @@ def plot_node_vectorfield(rhs_fn, data, test_pred: np.ndarray, save_dir: str,
     for ax in (ax1, ax2):
         ax.set_xlim(data.xlim), ax.set_ylim(data.ylim)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def plot_trace(trainer, save_dir: str, fname: str = "plt_optimization_trace.png"):
@@ -435,8 +447,7 @@ def plot_trace(trainer, save_dir: str, fname: str = "plt_optimization_trace.png"
         ax.set_title(name)
         ax.set_xlabel("iteration")
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)
 
 
 def plot_shooting_states(states, data, save_dir: str,
@@ -465,5 +476,4 @@ def plot_shooting_states(states, data, save_dir: str,
     np.atleast_1d(axs)[0].legend(fontsize=8)
     np.atleast_1d(axs)[-1].set_xlabel("time")
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, fname), dpi=120)
-    plt.close(fig)
+    finish_figure(fig, save_dir, fname)

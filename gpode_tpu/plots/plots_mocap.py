@@ -13,6 +13,7 @@ import os
 import matplotlib.pyplot as plt
 import numpy as np
 
+from gpode_tpu.plots.plots_2d import finish_figure
 from gpode_tpu.plots.plots_2d import plot_trace as _plot_trace
 from gpode_tpu.plots.plots_2d import unwhiten_inducing
 
@@ -39,8 +40,7 @@ def plot_pca_predictions(actual: np.ndarray, predicted: np.ndarray,
             if i == 0:
                 ax.set_title(f"PCA {l + 1}", fontsize=8)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, f"{name}.png"), dpi=110)
-    plt.close(fig)
+    finish_figure(fig, save_dir, f"{name}.png", dpi=110)
 
 
 def plot_data_predictions(actual: np.ndarray, predicted: np.ndarray,
@@ -68,8 +68,7 @@ def plot_data_predictions(actual: np.ndarray, predicted: np.ndarray,
         ax.set_title(f"ch {ch}", fontsize=6)
         ax.tick_params(labelsize=5)
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, f"{name}.png"), dpi=110)
-    plt.close(fig)
+    finish_figure(fig, save_dir, f"{name}.png", dpi=110)
 
 
 def plot_inducing_posterior_3d(gp_params, pred_zs: np.ndarray, save_dir: str,
@@ -93,8 +92,7 @@ def plot_inducing_posterior_3d(gp_params, pred_zs: np.ndarray, save_dir: str,
     ax.set_ylabel(f"latent {j + 1}")
     ax.set_zlabel(f"latent {k + 1}")
     fig.tight_layout()
-    fig.savefig(os.path.join(save_dir, f"{name}.png"), dpi=110)
-    plt.close(fig)
+    finish_figure(fig, save_dir, f"{name}.png", dpi=110)
 
 
 def plot_trace(trainer, save_dir: str, fname: str = "plt_optimization_trace.png"):

@@ -107,3 +107,20 @@ def test_host_pca_matches_sklearn_exactly():
     np.testing.assert_allclose(z_ours, z_ref, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(ours.transform(x[:7]), ref.transform(x[:7]),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_split_iteration_protocol():
+    """The reference `Data` protocol (`src/datasets/vanderpol.py:8-17`):
+    len() = number of sequences, data[i] -> (ys_i, ts); CombinedDataset pairs
+    the data-space and PCA-space views (`src/misc/mocap_utils.py:37-47`)."""
+    from gpode_tpu.data.common import Split
+    ys = np.arange(24, dtype=np.float32).reshape(3, 4, 2)
+    ts = np.linspace(0.0, 1.0, 4).astype(np.float32)
+    split = Split(ys, ts)
+    assert len(split) == 3
+    y0, t0 = split[1]
+    np.testing.assert_array_equal(y0, ys[1])
+    np.testing.assert_array_equal(t0, ts)
+    # iterable like the reference Data
+    seqs = [y for y, _ in split]
+    assert len(seqs) == 3

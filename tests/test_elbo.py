@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpode_tpu.models import gp, gpode, shooting
 from gpode_tpu.models.flow import SolverConfig, flow_forward
@@ -196,6 +197,7 @@ def test_masked_elbo_ignores_corrupted_hidden_points():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dopri5_and_rk4_training_gradients_agree():
     """(VERDICT r1 #2) On a partially-trained shooting model, the dopri5
     training gradient must agree with the rk4 one in direction (cosine) and

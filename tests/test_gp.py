@@ -33,6 +33,7 @@ def _make_params(key, d_in=2, d_out=2, m=8, dimwise=True, q_diag=False, informat
 
 @pytest.mark.parametrize("dimwise,q_diag", [(True, False), (False, False),
                                             (True, True), (False, True)])
+@pytest.mark.slow
 def test_decoupled_sampling_moments_match_conditional(dimwise, q_diag):
     """Mean/var of many pathwise draws must match the exact conditional
     q(f(x)) (reference semantics: `build_cache`+`forward` vs

@@ -96,6 +96,7 @@ def test_logpdf_consistency_with_mvn():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cholesky_small_matches_lapack():
     # the unrolled fused factorization must equal jnp.linalg.cholesky in
     # value AND gradient on batched tiny SPD matrices (the shooting-entropy

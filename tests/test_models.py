@@ -123,6 +123,7 @@ def test_frozen_mask_paths():
     assert not bool(mask.likelihood.raw_variance)
 
 
+@pytest.mark.slow
 def test_neural_ode_baseline_learns_linear_system():
     import optax
     from gpode_tpu.models import neural_ode
@@ -168,6 +169,7 @@ def _mb_setup(t=7):
     return shooting, args, params, ys, ts
 
 
+@pytest.mark.slow
 def test_segment_minibatch_identity_batch_equals_plain():
     """segment_idx = arange(T) runs the gather/Horvitz-Thompson formulation
     over every segment — it must reproduce the plain ELBO (same key)."""
@@ -191,6 +193,7 @@ def test_segment_minibatch_identity_batch_equals_plain():
     np.testing.assert_allclose(float(permuted), float(plain), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_segment_minibatch_unbiased_by_enumeration():
     """K=1 enumerated over every segment: the average of the subsampled
     estimators equals the full ELBO exactly (uniform inclusion for the
@@ -210,6 +213,7 @@ def test_segment_minibatch_unbiased_by_enumeration():
     np.testing.assert_allclose(np.mean(losses), float(plain), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_segment_minibatch_trains_and_is_random_per_step():
     """The jitted random-subset path: finite losses, params move, and two
     different keys integrate different segment subsets (different losses at

@@ -35,6 +35,7 @@ def _fake_pred(data, s=6):
     return data.tst.ys[None] + 0.1 * rng.normal(size=(s, n, t, d))
 
 
+@pytest.mark.slow
 def test_vdp_artifact_inventory(tmp_path, vdp):
     """The reference's train_vdp_gpode.py artifact families: init snapshots,
     per-sequence longitudinals, the 3-panel vectorfield, inducing arrows,
@@ -120,3 +121,29 @@ def test_notebook_variants_render(vdp):
     notebook.show_model_initialization(jax.random.PRNGKey(2), params, vdp,
                                        _ARGS.solver_config(),
                                        _ARGS.num_features, num_draws=3)
+
+
+def test_display_mode_shows_instead_of_saving(tmp_path, vdp, monkeypatch):
+    """The reference's `make_plot=True` interactive mode
+    (`src/gpode/plots_2d.py:85-90`): with `set_display_mode(True)` plot
+    functions call plt.show() and write NO file."""
+    import os
+
+    import matplotlib.pyplot as plt
+
+    shown = []
+    monkeypatch.setattr(plt, "show", lambda *a, **k: shown.append(1))
+    pred = _fake_pred(vdp)
+    nv = np.full((2,), 0.05)
+    out = str(tmp_path)
+    plots_2d.set_display_mode(True)
+    try:
+        plots_2d.plot_longitudinal(vdp, pred, nv, out)
+    finally:
+        plots_2d.set_display_mode(False)
+    assert shown, "display mode did not plt.show()"
+    assert not os.listdir(out), "display mode still wrote files"
+    plt.close("all")
+
+    plots_2d.plot_longitudinal(vdp, pred, nv, out)  # save mode restored
+    assert os.path.exists(os.path.join(out, "plt_longitudinal.png"))

@@ -14,8 +14,9 @@ from gpode_tpu.parallel.train import (device_put_batch, device_put_replicated,
                                       make_sharded_shooting_step)
 from gpode_tpu.train.builders import ModelArgs, build_shooting, shooting_loss_fn
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 _ARGS = ModelArgs(num_inducing=8, num_features=16, solver="rk4",
                   ts_dense_scale=3, max_steps=16, num_samples=8)

@@ -8,6 +8,7 @@ Full-length runs live in scripts/; here we check that the complete pipeline
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from gpode_tpu.data.vanderpol import VanderPol
@@ -22,6 +23,10 @@ from gpode_tpu.train.trainer import TrainConfig, Trainer, make_train_step
 
 _ARGS = ModelArgs(num_inducing=16, num_features=32, solver="rk4",
                   ts_dense_scale=3, max_steps=32, num_samples=3)
+
+# driver end-to-end runs: minutes-scale on the 1-core host
+pytestmark = pytest.mark.slow
+
 
 
 def _vdp(s_train=25):
