@@ -7,11 +7,15 @@ the full training step (posterior draw -> Cholesky -> whitened solves ->
 one XLA program.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-`vs_baseline` is measured against the same step on the host CPU (the
-reference implementation is CPU/single-GPU torch+torchdiffeq; torchdiffeq is
-not installable here, so the single-core CPU run of this step stands in as
-the conservative baseline — the reference's Python-loop stepping is strictly
-slower than one compiled CPU XLA program).
+Two baseline ratios:
+  * vs_baseline — against this framework's own step compiled on one host CPU
+    core. Read from the pinned BASELINE_CPU.json when present (written by
+    scripts/pin_baseline.py, median of >= 5 windows, with provenance —
+    removes the contended-host jitter that made live denominators swing 2x
+    between rounds); falls back to a live subprocess measurement otherwise.
+  * vs_torch_reference — against the ACTUAL reference implementation's train
+    step (torch CPU, fixed-grid RK4 torchdiffeq stub which favours the
+    reference); pinned-only, null without the artifact.
 
 Usage: python bench.py [--platform cpu] [--iters N] [--no-baseline]
 """
@@ -107,6 +111,20 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
     }
 
 
+def load_pinned_baseline(config: str) -> dict | None:
+    """BASELINE_CPU.json entry for this config (written once, with >= 5
+    timing windows per number, by scripts/pin_baseline.py). Pinning removes
+    the round-to-round 2x jitter the live CPU denominator had on the
+    contended 1-core host (BENCH_r01-r03: 0.274 -> 0.181 -> 0.119 steps/s
+    for the same code class)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CPU.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get(config)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None,
@@ -134,7 +152,17 @@ def main():
 
     vs_baseline = 1.0
     cpu_steps = None
-    if not cli.no_baseline and result["platform"] != "cpu":
+    torch_steps = None
+    baseline_source = None
+    config_name = "scale" if cli.scale else "fast" if cli.fast else "official"
+    pinned = (load_pinned_baseline(config_name)
+              if not cli.no_baseline and result["platform"] != "cpu" else None)
+    if pinned is not None:
+        cpu_steps = pinned["cpu_xla"]["steps_per_sec"]
+        vs_baseline = result["steps_per_sec"] / cpu_steps
+        torch_steps = pinned.get("torch_reference", {}).get("steps_per_sec")
+        baseline_source = "pinned"
+    elif not cli.no_baseline and result["platform"] != "cpu":
         # measure the CPU baseline in a subprocess (fresh backend).
         # measure_steps_per_sec times 3 windows of the full --iters count, so
         # --iters 3 = 3 median-filtered windows of 3 = 9 CPU steps total (the
@@ -150,6 +178,7 @@ def main():
             cpu = json.loads(out.stdout.strip().splitlines()[-1])
             cpu_steps = cpu["value"]
             vs_baseline = result["steps_per_sec"] / cpu_steps
+            baseline_source = "live"
         except Exception as e:
             # vs_baseline 1.0 + null cpu_baseline_steps_per_sec in the JSON
             # marks "baseline unavailable"; say why on stderr (the JSON line
@@ -167,6 +196,12 @@ def main():
         "rhs_evals_per_sec": round(result["rhs_evals_per_sec"], 1),
         "platform": result["platform"],
         "cpu_baseline_steps_per_sec": cpu_steps,
+        "baseline_source": baseline_source,
+        # ratio vs the ACTUAL torch reference step (pinned via
+        # scripts/pin_baseline.py; null when no pinned artifact exists)
+        "vs_torch_reference": (round(result["steps_per_sec"] / torch_steps, 4)
+                               if torch_steps else None),
+        "torch_reference_steps_per_sec": torch_steps,
         "final_loss": round(result["loss"], 4),
     }
     if cli.mesh:

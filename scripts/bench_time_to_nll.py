@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""The north-star metric, measured directly (VERDICT r3 item 1 /
+BASELINE.md): wall-clock time for MoCap-09 shooting-GPODE to FIRST reach the
+reference-class test NLL on one TPU chip, vs the CPU baselines.
+
+Trains the headline recipe (subject 09, seqlen 100, 5 PCA latents, M=100,
+S_rff=256, 5 MC draws, dopri5 whole-span megakernel — the RESULTS.md config
+that lands test LL -1.419 at 10k iters) from scratch, evaluating the test
+mixture log-likelihood (128 posterior draws, scored in the 50-D data space —
+the reference's metric, `src/gpode/model_builder.py:99-120`) every
+`--eval_every` iterations, and records the first crossing of each target LL.
+
+The reference itself cannot feasibly run its 10k-iteration MoCap config on
+this host (the pinned torch step rate makes that hours — that is the point),
+so "reference-class test NLL" is the quality level this framework's
+parity-validated runs reach (RESULTS.md: -1.419 final / -1.40-class
+seed-robust); targets default to [-1.50, -1.45, -1.42].
+
+CPU time for the same trajectory is extrapolated as
+iters_to_target / pinned_cpu_steps_per_sec (BASELINE_CPU.json, written by
+scripts/pin_baseline.py): the CPU runs the IDENTICAL XLA program, so the
+optimization trajectory is the same and only the step rate differs;
+evaluation time is EXCLUDED from the CPU side (conservative, favours CPU).
+The same extrapolation against the actual torch reference's pinned step rate
+gives the second ratio.
+
+Writes TIME_TO_NLL.json at the repo root.
+
+Usage: python scripts/bench_time_to_nll.py [--num_iter 6000]
+       [--eval_every 100] [--targets -1.5 -1.45 -1.42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_iter", type=int, default=6000)
+    ap.add_argument("--eval_every", type=int, default=100)
+    ap.add_argument("--targets", type=float, nargs="+",
+                    default=[-1.50, -1.45, -1.42])
+    ap.add_argument("--eval_draws", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=121)
+    ap.add_argument("--out", default=os.path.join(_REPO, "TIME_TO_NLL.json"))
+    a = ap.parse_args()
+
+    import jax
+    cache_dir = os.environ.get("GPODE_TPU_JAX_CACHE",
+                               os.path.expanduser("~/.cache/gpode_tpu_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
+    from gpode_tpu.models import gpode
+    from gpode_tpu.models.init import (initialize_inducing,
+                                       initialize_kernel_parameters,
+                                       initialize_noisevar,
+                                       initialize_shooting_states_with_data)
+    from gpode_tpu.models.likelihoods import project
+    from gpode_tpu.train.builders import (build_shooting,
+                                          default_frozen_predicate,
+                                          shooting_loss_fn)
+    from gpode_tpu.train.bench_setup import bench_model_args
+    from gpode_tpu.train.metrics import compute_summary
+    from gpode_tpu.train.trainer import build_frozen_mask, make_train_step
+
+    t_start = time.perf_counter()
+    margs = bench_model_args()  # the official bench/headline recipe
+    cfg = margs.solver_config()
+    import dataclasses
+    eval_cfg = dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
+                                   first_step=None)
+
+    data_dir = os.path.join(_REPO, "data/mocap")
+    data_pca = MocapDataset(data_path=data_dir, subject="09",
+                            pca_components=5, data_normalize=False,
+                            pca_normalize=True, seqlen=100)
+    data_full = MocapDataset(data_path=data_dir, subject="09",
+                             pca_components=-1, data_normalize=False,
+                             pca_normalize=False, seqlen=100)
+    projector = latent_to_data_projector(data_pca)
+
+    key = jax.random.PRNGKey(a.seed)
+    k_build, k_init, k_noise, k_train, k_eval = jax.random.split(key, 5)
+    rng = np.random.RandomState(a.seed)
+
+    # the full run_mocap initialization pipeline (experiments.py:537-562)
+    params = build_shooting(k_build, margs, data_pca.trn.ys,
+                            projector=projector,
+                            full_dim=data_full.trn.ys.shape[-1])
+    params = params._replace(gp=initialize_kernel_parameters(
+        params.gp, lengthscale_value=1.25, variance_value=0.5))
+    params = params._replace(gp=initialize_inducing(
+        params.gp, data_pca.trn.ys, float(data_pca.trn.ts.max()), 1e0,
+        rng=rng))
+    params = initialize_shooting_states_with_data(
+        k_init, params, data_pca.trn.ys, data_pca.trn.ts, eval_cfg,
+        margs.num_features)
+    vparams = gpode.GPODEParams(gp=params.gp, x0=params.states.x0,
+                                likelihood=params.likelihood)
+    init_zs = gpode.predict(k_noise, vparams, jnp.asarray(data_pca.trn.ts),
+                            eval_cfg, margs.num_features, num_draws=16)
+    init_ys = np.asarray(project(projector, init_zs))
+    resid_var = (data_full.trn.ys[None] - init_ys).var(axis=(0, 1, 2)) + 1e-4
+    params = params._replace(likelihood=initialize_noisevar(
+        params.likelihood, 1.5 * resid_var))
+    t_init_done = time.perf_counter()
+
+    loss_fn = shooting_loss_fn(margs)
+    opt = optax.adam(5e-3)
+    frozen = build_frozen_mask(params, default_frozen_predicate(margs))
+    step = make_train_step(loss_fn, opt, frozen_mask=frozen)
+    opt_state = opt.init(params)
+
+    ys = jnp.asarray(data_full.trn.ys)
+    ts = jnp.asarray(data_pca.trn.ts)
+    test_ts = jnp.asarray(data_pca.tst.ts)
+    test_x0 = jnp.asarray(data_pca.tst.ys[:, 0])
+
+    def eval_test_ll(p, itr):
+        vp = gpode.GPODEParams(gp=p.gp, x0=p.states.x0,
+                               likelihood=p.likelihood)
+        zs = gpode.predict(jax.random.fold_in(k_eval, itr), vp, test_ts,
+                           eval_cfg, margs.num_features,
+                           num_draws=a.eval_draws, x0=test_x0)
+        ys_pred = np.asarray(project(projector, zs))
+        nv = np.asarray(p.likelihood.variance)
+        ll, mse = compute_summary(data_full.tst.ys, ys_pred, nv)
+        return float(ll), float(mse)
+
+    # compile both programs (excluded from train_seconds, included in wall)
+    k = k_train
+    t0 = time.perf_counter()
+    params, opt_state, k, terms = step(params, opt_state, k, ys, ts)
+    float(terms.loss)
+    t_step_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ll0, mse0 = eval_test_ll(params, 0)
+    t_eval = time.perf_counter() - t0
+    print(f"compile: step {t_step_compile:.1f}s, eval {t_eval:.1f}s; "
+          f"test LL after init+1 step: {ll0:.3f}", flush=True)
+
+    trace = [dict(iter=1, train_seconds=0.0, test_ll=ll0, test_mse=mse0)]
+    crossings = {}
+    train_seconds = 0.0
+    itr = 1
+    while itr < a.num_iter:
+        chunk = min(a.eval_every, a.num_iter - itr)
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            params, opt_state, k, terms = step(params, opt_state, k, ys, ts)
+        final_loss = float(terms.loss)  # hard sync through the tunnel
+        train_seconds += time.perf_counter() - t0
+        itr += chunk
+        ll, mse = eval_test_ll(params, itr)
+        wall = time.perf_counter() - t_start
+        trace.append(dict(iter=itr, train_seconds=round(train_seconds, 3),
+                          wall_seconds=round(wall, 3),
+                          test_ll=round(ll, 4), test_mse=round(mse, 3)))
+        for tgt in a.targets:
+            if str(tgt) not in crossings and ll >= tgt:
+                crossings[str(tgt)] = dict(
+                    iter=itr, train_seconds=round(train_seconds, 3),
+                    wall_seconds_incl_compile_evals=round(wall, 3),
+                    test_ll=round(ll, 4))
+                print(f"*** target {tgt} reached at iter {itr}: "
+                      f"LL {ll:.4f}, train {train_seconds:.1f}s, "
+                      f"wall {wall:.1f}s", flush=True)
+        print(f"iter {itr}: loss {final_loss:.4f}, test LL {ll:.4f}, "
+              f"MSE {mse:.2f}, train {train_seconds:.1f}s", flush=True)
+        if all(str(t) in crossings for t in a.targets):
+            break
+
+    # CPU extrapolation from the pinned baselines
+    pinned_path = os.path.join(_REPO, "BASELINE_CPU.json")
+    baselines = {}
+    if os.path.exists(pinned_path):
+        with open(pinned_path) as f:
+            pinned = json.load(f).get("official", {})
+        cpu_sps = pinned.get("cpu_xla", {}).get("steps_per_sec")
+        torch_sps = pinned.get("torch_reference", {}).get("steps_per_sec")
+        for tgt, c in crossings.items():
+            entry = {}
+            if cpu_sps:
+                cpu_s = c["iter"] / cpu_sps
+                entry["cpu_xla_seconds_extrapolated"] = round(cpu_s, 1)
+                entry["speedup_vs_cpu_xla_train_only"] = round(
+                    cpu_s / max(c["train_seconds"], 1e-9), 1)
+                entry["speedup_vs_cpu_xla_incl_compile_evals"] = round(
+                    cpu_s / c["wall_seconds_incl_compile_evals"], 1)
+            if torch_sps:
+                t_s = c["iter"] / torch_sps
+                entry["torch_reference_seconds_extrapolated"] = round(t_s, 1)
+                entry["speedup_vs_torch_reference_train_only"] = round(
+                    t_s / max(c["train_seconds"], 1e-9), 1)
+                entry["speedup_vs_torch_reference_incl_compile_evals"] = (
+                    round(t_s / c["wall_seconds_incl_compile_evals"], 1))
+            baselines[tgt] = entry
+
+    import jax as _jax
+    payload = {
+        "metric": "mocap09_shooting_time_to_test_nll",
+        "config": "official (M=100, S_rff=256, 5 draws, dopri5 megakernel)",
+        "device": str(_jax.devices()[0]),
+        "targets": a.targets,
+        "crossings": crossings,
+        "cpu_extrapolation": baselines,
+        "methodology": (
+            "test LL = logsumexp mixture over "
+            f"{a.eval_draws} posterior draws in 50-D data space "
+            "(reference metric, src/gpode/model_builder.py:99-120), "
+            f"evaluated every {a.eval_every} iters; train_seconds excludes "
+            "compile and eval time; CPU seconds extrapolate "
+            "iters_to_target / pinned_steps_per_sec (identical XLA program "
+            "-> identical trajectory; eval time excluded on the CPU side, "
+            "favouring CPU)"),
+        "init_seconds": round(t_init_done - t_start, 1),
+        "step_compile_seconds": round(t_step_compile, 1),
+        "trace": trace,
+    }
+    with open(a.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({k: v for k, v in payload.items() if k != "trace"},
+                     indent=2))
+    print(f"wrote {a.out}")
+
+
+if __name__ == "__main__":
+    main()
