@@ -179,12 +179,15 @@ class Trainer:
         # Through a remote-device tunnel every EAGER op costs ~20 ms and every
         # device_get ~100 ms; packing jitted + copying host-side
         # asynchronously (collected a window later) hides both — measured
-        # 8.4 -> 3.0 ms/step on the MoCap shooting script loop. jit retraces
-        # once per distinct window length (steady state: one length).
+        # 8.4 -> 3.0 ms/step on the MoCap shooting script loop. Short windows
+        # (log-boundary drains, the tail) are padded to the first-seen window
+        # length by repeating their last element, so `_pack` compiles exactly
+        # once per run; `_collect_one` reads only the valid columns.
         self._pack = jax.jit(lambda ts_list: jnp.stack(
             [jnp.stack([leaf.astype(jnp.float32)
                         for leaf in jax.tree_util.tree_leaves(t)])
              for t in ts_list], axis=1))
+        self._pack_width: Optional[int] = None
         self._terms_fields: Optional[tuple] = None
         self._inflight: list = []   # (iters, per_step_secs, device block)
 
@@ -207,7 +210,12 @@ class Trainer:
         while len(self._inflight) >= 1:
             self._collect_one(warmup_iters)
         iters = [itr for itr, _ in pending]
-        block = self._pack([t for _, t in pending])
+        terms = [t for _, t in pending]
+        if self._pack_width is None or len(terms) > self._pack_width:
+            self._pack_width = len(terms)  # grows at most once per new max
+        if len(terms) < self._pack_width:
+            terms = terms + [terms[-1]] * (self._pack_width - len(terms))
+        block = self._pack(terms)
         block.copy_to_host_async()
         elapsed = time.time() - begin
         self._inflight.append((iters, elapsed / len(iters), block))
