@@ -44,14 +44,15 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
 
     from gpode_tpu.train.bench_setup import build_bench_problem
     from gpode_tpu.train.builders import shooting_loss_fn
-    from gpode_tpu.train.trainer import make_train_step
+    from gpode_tpu.train.trainer import default_optimizer, make_train_step
 
     # the canonical bench problem — ONE definition shared with the
     # diagnostic scripts (gpode_tpu/train/bench_setup.py)
     args, params, ys, ts = build_bench_problem(scale=scale, fast=fast)
 
     loss_fn = shooting_loss_fn(args)
-    opt = optax.adam(5e-3)
+    # flat-vector Adam — what the Trainer runs by default (round 4: +8%)
+    opt = default_optimizer(5e-3)
     key = jax.random.PRNGKey(1)
     if mesh_spec:
         # --mesh dp=2,mc=4: the sharded train step (sequences over dp, MC
@@ -73,7 +74,9 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
               else device_put_replicated(ys, mesh))
         ts = device_put_replicated(ts, mesh)
     else:
-        step = make_train_step(loss_fn, opt)
+        # donate the carry buffers (in-place update, +2%) — what a steady
+        # training loop can run with donate_step=True
+        step = make_train_step(loss_fn, opt, donate=True)
         opt_state = opt.init(params)
 
     # warmup: compile + settle (host fetch = hard sync; block_until_ready is

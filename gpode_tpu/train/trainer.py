@@ -13,6 +13,7 @@ frozen leaves are zeroed before the update.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Optional
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from gpode_tpu.utils.checkpoint import save_checkpoint
+from gpode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from gpode_tpu.utils.meters import Meter
 
 
@@ -41,6 +42,18 @@ class TrainConfig:
     # silently freeze at the final integrator state, `ops/ode.py:odeint_dopri5`)
     # — the Trainer logs an explicit warning instead of staying silent.
     ncov_expected: int = 0
+    # Run Adam over ONE flat concatenated vector (optax.flatten) instead of
+    # 14+ per-leaf update ops. Numerically identical (Adam is elementwise);
+    # measured +8% on the official bench step (278.6 -> 300.6 steps/s, the
+    # ~0.37 ms of <40 us ops in PROFILE.md's rollup was mostly per-leaf Adam).
+    # Changes the opt_state pytree layout: resuming a pre-flatten checkpoint
+    # requires flatten_opt=False (`--flatten_opt false`).
+    flatten_opt: bool = True
+    # Donate params/opt_state buffers to the step (+2%: 300.6 -> 307.1
+    # steps/s, in-place update). Off by default: a KeyboardInterrupt landing
+    # inside a donated step leaves params/opt_state deleted, so graceful
+    # interrupt falls back to the last periodic checkpoint.
+    donate_step: bool = False
 
 
 def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
@@ -52,6 +65,18 @@ def build_frozen_mask(params: Any, frozen_predicate: Callable[[str], bool]):
         return frozen_predicate(name)
 
     return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def default_optimizer(lr, grad_clip: float = 0.0,
+                      flatten: bool = True) -> optax.GradientTransformation:
+    """The framework's Adam stack: optional global-norm clip, and by default
+    `optax.flatten` so the update runs over ONE concatenated vector instead
+    of ~40 per-leaf tiny ops (+8% on the official bench step; numerically
+    identical since Adam is elementwise — `scripts/diag_adam_fusion.py`).
+    `lr` may be a float or an optax schedule."""
+    opt = (optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
+           if grad_clip > 0 else optax.adam(lr))
+    return optax.flatten(opt) if flatten else opt
 
 
 def make_step_bodies(loss_at: Callable,
@@ -97,7 +122,8 @@ def make_step_bodies(loss_at: Callable,
 
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                     frozen_mask: Optional[Any] = None,
-                    with_iteration: bool = False):
+                    with_iteration: bool = False,
+                    donate: bool = False):
     """Build a jitted step: (params, opt_state, key, *batch) -> updated state.
 
     loss_fn(params, key, *batch) must return (loss, aux-NamedTuple).
@@ -107,6 +133,10 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
     (..., itr+1, terms) and loss_fn receives (params, key, itr, *batch).
     Used by iteration-dependent objectives (constraint-scale annealing)
     without a per-step host->device transfer.
+
+    donate=True donates the params/opt_state input buffers (in-place
+    update, +2% on the bench step). The caller must treat its previous
+    params/opt_state references as DEAD after each call.
     """
 
     def loss_at(p, sub, itr, *batch):
@@ -114,7 +144,8 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
                 else loss_fn(p, sub, itr, *batch))
 
     step, step_itr = make_step_bodies(loss_at, optimizer, frozen_mask)
-    return jax.jit(step_itr if with_iteration else step)
+    return jax.jit(step_itr if with_iteration else step,
+                   donate_argnums=(0, 1) if donate else ())
 
 
 class Trainer:
@@ -141,17 +172,15 @@ class Trainer:
         self.cfg = cfg
         lr = (optax.cosine_decay_schedule(cfg.lr, cfg.num_iter, alpha=0.01)
               if cfg.lr_schedule == "cosine" else cfg.lr)
-        if cfg.grad_clip > 0:
-            self.optimizer = optax.chain(
-                optax.clip_by_global_norm(cfg.grad_clip), optax.adam(lr))
-        else:
-            self.optimizer = optax.adam(lr)
+        self.optimizer = default_optimizer(lr, grad_clip=cfg.grad_clip,
+                                           flatten=cfg.flatten_opt)
         self.pass_iteration = pass_iteration
         if step_factory is not None:
             self.step_fn = step_factory(self.optimizer, frozen_mask)
         else:
             self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask,
-                                           with_iteration=pass_iteration)
+                                           with_iteration=pass_iteration,
+                                           donate=cfg.donate_step)
         self.logger = logger
         self.checkpoint_path = checkpoint_path
         # periodic host callback(itr, params) — e.g. validation evaluation;
@@ -272,7 +301,21 @@ class Trainer:
     def train(self, params, key, *batch, start_iter: int = 1,
               opt_state=None):
         """Run the loop; returns (params, opt_state, key)."""
-        opt_state = self.optimizer.init(params) if opt_state is None else opt_state
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        else:
+            # A resumed opt_state must match this optimizer's layout —
+            # checkpoints written before the optax.flatten default carry the
+            # per-leaf layout and need `flatten_opt=False` to keep their
+            # Adam moments.
+            want = jax.tree_util.tree_structure(self.optimizer.init(params))
+            got = jax.tree_util.tree_structure(opt_state)
+            if want != got:
+                raise ValueError(
+                    "resumed opt_state layout does not match the optimizer "
+                    f"(checkpoint {got}, optimizer {want}). If the checkpoint "
+                    "predates the flat-Adam default, resume with "
+                    "flatten_opt=False (`--flatten_opt false`).")
         cfg = self.cfg
         pending = []  # (iteration, device-side terms) awaiting meter drain
         begin = time.time()
@@ -349,6 +392,28 @@ class Trainer:
                     begin = time.time()
             except KeyboardInterrupt:
                 self._log("Stopping optimization")
+                if self.cfg.donate_step and any(
+                        getattr(leaf, "is_deleted", lambda: False)()
+                        for leaf in jax.tree_util.tree_leaves(params)):
+                    # the interrupt landed inside a donated step: the inputs
+                    # are already consumed and the outputs never bound —
+                    # recover the last periodic checkpoint instead
+                    self._inflight.clear()
+                    pending.clear()
+                    if self.checkpoint_path and os.path.exists(
+                            self.checkpoint_path):
+                        state = load_checkpoint(self.checkpoint_path)
+                        params, opt_state, key = (state["params"],
+                                                  state["opt_state"],
+                                                  state["key"])
+                        self._log(f"donate_step: interrupted mid-step; "
+                                  f"restored iteration {state['step']} from "
+                                  f"{self.checkpoint_path}")
+                    else:
+                        raise RuntimeError(
+                            "donate_step=True: interrupted inside a donated "
+                            "step with no periodic checkpoint to fall back "
+                            "to (set checkpoint_every)") from None
                 break
         self._drain(pending, begin, cfg.warmup_iters)
         return params, opt_state, key

@@ -77,6 +77,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_plots", action="store_true", help="Skip diagnostics plots")
     p.add_argument("--resume", action="store_true",
                    help="Resume from <save>/checkpt.npz if present")
+    p.add_argument("--flatten_opt", type=_str2bool, default=True,
+                   help="Run Adam over one flat vector (optax.flatten; +8% "
+                        "steps/s, numerically identical). Pass false to "
+                        "resume checkpoints written before this default")
     p.add_argument("--eval_only", action="store_true",
                    help="Skip initialization and training: load the trained "
                         "checkpoint from <save> and run evaluation + plots + "

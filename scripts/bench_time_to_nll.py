@@ -76,7 +76,7 @@ def main():
                                           shooting_loss_fn)
     from gpode_tpu.train.bench_setup import bench_model_args
     from gpode_tpu.train.metrics import compute_summary
-    from gpode_tpu.train.trainer import build_frozen_mask, make_train_step
+    from gpode_tpu.train.trainer import build_frozen_mask, default_optimizer, make_train_step
 
     t_start = time.perf_counter()
     margs = bench_model_args()  # the official bench/headline recipe
@@ -121,7 +121,7 @@ def main():
     t_init_done = time.perf_counter()
 
     loss_fn = shooting_loss_fn(margs)
-    opt = optax.adam(5e-3)
+    opt = default_optimizer(5e-3)
     frozen = build_frozen_mask(params, default_frozen_predicate(margs))
     step = make_train_step(loss_fn, opt, frozen_mask=frozen)
     opt_state = opt.init(params)

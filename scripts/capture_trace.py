@@ -36,7 +36,7 @@ def main():
     from gpode_tpu.models import gp
     from gpode_tpu.train.bench_setup import build_bench_problem
     from gpode_tpu.train.builders import shooting_loss_fn
-    from gpode_tpu.train.trainer import make_train_step
+    from gpode_tpu.train.trainer import default_optimizer, make_train_step
 
     args, params, ys, ts = build_bench_problem(scale=cli.scale)
     loss_fn = shooting_loss_fn(args)
@@ -44,7 +44,7 @@ def main():
 
     if cli.pallas != "auto":
         gp.set_pallas_rhs(cli.pallas == "true")
-    opt = optax.adam(5e-3)
+    opt = default_optimizer(5e-3)
     step = make_train_step(loss_fn, opt)
     opt_state = opt.init(params)
 

@@ -55,7 +55,7 @@ def main():
     from gpode_tpu.models import gp
     from gpode_tpu.train.bench_setup import build_bench_problem
     from gpode_tpu.train.builders import shooting_loss_fn
-    from gpode_tpu.train.trainer import make_train_step
+    from gpode_tpu.train.trainer import default_optimizer, make_train_step
 
     args, params, ys, ts = build_bench_problem(scale=cli.scale)
     loss_fn = shooting_loss_fn(args)
@@ -68,7 +68,7 @@ def main():
     x_batch = jnp.asarray(np.random.RandomState(2).randn(rows, d_lat),
                           jnp.float32)
 
-    opt = optax.adam(5e-3)
+    opt = default_optimizer(5e-3)
 
     def sync_tree(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
