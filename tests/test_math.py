@@ -33,6 +33,36 @@ def test_fill_pack_tril_roundtrip_batched():
     np.testing.assert_allclose(om.pack_tril(dense), packed)
 
 
+def test_fill_tril_matches_scatter_oracle_and_grads():
+    """fill_tril is a static GATHER with a custom gather VJP (the scatter
+    lowering cost 0.56 ms/step at M=256 — round-4 scale trace). Pin value,
+    gradient, and vmap equivalence against the plain scatter formulation."""
+    def scatter_fill(packed, n):
+        rows, cols = om.tril_indices(n)
+        out = jnp.zeros(packed.shape[:-1] + (n, n), dtype=packed.dtype)
+        return out.at[..., rows, cols].set(packed)
+
+    rng = np.random.default_rng(2)
+    for n, batch in ((1, ()), (5, (3,)), (17, (2, 4)), (64, (5,))):
+        packed = jnp.asarray(
+            rng.normal(size=batch + (om.tril_size(n),)).astype(np.float32))
+        np.testing.assert_array_equal(om.fill_tril(packed, n),
+                                      scatter_fill(packed, n))
+        # cotangent mixes tril and (ignored) strict-upper positions
+        cot = jnp.asarray(
+            rng.normal(size=batch + (n, n)).astype(np.float32))
+        g_gather = jax.grad(
+            lambda p: jnp.vdot(om.fill_tril(p, n), cot))(packed)
+        g_scatter = jax.grad(
+            lambda p: jnp.vdot(scatter_fill(p, n), cot))(packed)
+        np.testing.assert_array_equal(g_gather, g_scatter)
+
+    # vmap over a leading axis the function does not broadcast itself
+    packed = jnp.asarray(rng.normal(size=(6, om.tril_size(5))).astype(np.float32))
+    np.testing.assert_array_equal(jax.vmap(lambda p: om.fill_tril(p, 5))(packed),
+                                  om.fill_tril(packed, 5))
+
+
 def test_cholesky_jittered_and_solves():
     rng = np.random.default_rng(1)
     a = rng.normal(size=(6, 6)).astype(np.float32)
