@@ -84,6 +84,12 @@ def fill_tril(packed: jax.Array, n: int) -> jax.Array:
     is exact: fill_tril is linear and every output element is either a packed
     entry or a constant zero); without it, AD would transpose the gather back
     into the scatter this formulation exists to avoid.
+
+    Constraint: `jax.custom_vjp` forecloses forward-mode AD — `jax.jvp` /
+    `jacfwd` through any packed Cholesky factor (gp.py q_sqrt, states.py
+    covariances) raises. Nothing in the repo uses forward mode; if that
+    changes, reformulate with `jax.custom_jvp` (the JVP is the same gather
+    applied to the tangent) and derive the VJP by linearity.
     """
     batch = packed.shape[:-1]
     zero = jnp.zeros(batch + (1,), dtype=packed.dtype)

@@ -176,6 +176,10 @@ class Trainer:
                                            flatten=cfg.flatten_opt)
         self.pass_iteration = pass_iteration
         if step_factory is not None:
+            if cfg.donate_step and logger is not None:
+                logger.info("donate_step has no effect with a custom "
+                            "step_factory (the sharded steps manage their own "
+                            "buffers); proceeding without donation")
             self.step_fn = step_factory(self.optimizer, frozen_mask)
         else:
             self.step_fn = make_train_step(loss_fn, self.optimizer, frozen_mask,
@@ -308,7 +312,10 @@ class Trainer:
             # checkpoints written before the optax.flatten default carry the
             # per-leaf layout and need `flatten_opt=False` to keep their
             # Adam moments.
-            want = jax.tree_util.tree_structure(self.optimizer.init(params))
+            # eval_shape: layout comparison without allocating a throwaway
+            # opt_state on device (wasteful through the TPU tunnel)
+            want = jax.tree_util.tree_structure(
+                jax.eval_shape(self.optimizer.init, params))
             got = jax.tree_util.tree_structure(opt_state)
             if want != got:
                 raise ValueError(

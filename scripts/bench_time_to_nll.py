@@ -62,7 +62,6 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from gpode_tpu.data.mocap import MocapDataset, latent_to_data_projector
     from gpode_tpu.models import gpode

@@ -31,7 +31,6 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import optax
 
     from gpode_tpu.models import gp
     from gpode_tpu.train.bench_setup import build_bench_problem

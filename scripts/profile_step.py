@@ -50,7 +50,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from gpode_tpu.models import gp
     from gpode_tpu.train.bench_setup import build_bench_problem
