@@ -71,6 +71,55 @@ def plot_data_predictions(actual: np.ndarray, predicted: np.ndarray,
     finish_figure(fig, save_dir, f"{name}.png", dpi=110)
 
 
+def plot_latents_3d(sampled_zs: np.ndarray, ts: np.ndarray, save_dir: str,
+                    num_obs: int = 10, name: str = "plt_latents_3d",
+                    rng=None):
+    """Standalone TIME-COLORED 3-D latent trajectories with a colorbar
+    (`src/gpode/plots_mocap.py:75-124` / `src/gpode_shooting/plots_mocap.py`):
+    every posterior-draw trajectory is drawn as a Line3DCollection whose
+    segments are colored by observation time (gist_rainbow over [ts.min(),
+    ts.max()]), with the sampled points overlaid as black dots.
+
+    sampled_zs: (S, N, T, L>=3). The reference shuffles the sequence axis
+    before truncating to `num_obs`; pass `rng` for a deterministic shuffle.
+    """
+    from matplotlib import colors
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    ts = np.asarray(ts)
+    sampled_zs = np.asarray(sampled_zs)
+    num_obs = min(sampled_zs.shape[1], num_obs)
+    rng = np.random if rng is None else rng
+    idx = rng.permutation(sampled_zs.shape[1])
+    sampled_zs = sampled_zs[:, idx]
+
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    norm = colors.Normalize(vmin=ts.min(), vmax=ts.max())
+    lc = None
+    for n in range(num_obs):
+        for s in range(sampled_zs.shape[0]):
+            points = sampled_zs[s, n, :, :3].reshape(-1, 1, 3)
+            segments = np.concatenate([points[:-1], points[1:]], axis=1)
+            lc = Line3DCollection(segments, cmap="gist_rainbow", alpha=0.4,
+                                  norm=norm)
+            lc.set_array(ts[:-1])
+            lc.set_linewidth(2)
+            ax.add_collection(lc)
+            ax.scatter(sampled_zs[s, n, :, 0], sampled_zs[s, n, :, 1],
+                       sampled_zs[s, n, :, 2], c="k", marker=".", s=20,
+                       zorder=3)
+    ax.set_xlabel("Comp 1")
+    ax.set_ylabel("Comp 2")
+    ax.set_zlabel("Comp 3")
+    if lc is not None:
+        fig.colorbar(lc, ax=ax, shrink=0.6, pad=0.1, label="t")
+    # autoscale to the collections (add_collection alone does not)
+    flat = sampled_zs[:, :num_obs, :, :3].reshape(-1, 3)
+    ax.auto_scale_xyz(flat[:, 0], flat[:, 1], flat[:, 2])
+    finish_figure(fig, save_dir, f"{name}.png", dpi=110)
+
+
 def plot_inducing_posterior_3d(gp_params, pred_zs: np.ndarray, save_dir: str,
                                name: str = "inducing_posterior",
                                dims=(0, 1, 2)):

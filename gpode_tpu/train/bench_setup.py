@@ -48,6 +48,17 @@ def bench_model_args(scale: bool = False, fast: bool = False) -> ModelArgs:
                      first_step=-1.0, num_samples=5)
 
 
+def preset_model_args(name: str) -> ModelArgs:
+    """Named bench presets: official / fast / scale, plus `m256` — the
+    RESULTS.md recommended at-scale recipe (256 inducing, 5 MC draws:
+    capacity scales fine, the 32-draw axis is what collapses quality —
+    round-3 scale ablation)."""
+    import dataclasses
+    if name == "m256":
+        return dataclasses.replace(bench_model_args(), num_inducing=256)
+    return bench_model_args(scale=name == "scale", fast=name == "fast")
+
+
 def build_bench_problem(scale: bool = False, fast: bool = False,
                         args: ModelArgs | None = None,
                         initialize: bool = True, data_dir: str | None = None):

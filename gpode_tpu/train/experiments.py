@@ -719,6 +719,12 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         plots_mocap.plot_inducing_posterior_3d(params.gp, test_pred_zs,
                                                args.save,
                                                name="inducing_posterior_test")
+        # standalone time-colored 3-D latent scatter, reference artifact
+        # `plt_latents_3d` (src/gpode/plots_mocap.py:75-124); a small draw
+        # subset keeps the Line3DCollection count bounded
+        plots_mocap.plot_latents_3d(train_pred_zs[:8], data_pca.trn.ts,
+                                    args.save, name="plt_latents_3d",
+                                    rng=np.random.RandomState(args.seed))
         if trainer is not None:
             plots_mocap.plot_trace(trainer, args.save)
     metrics = dict(train_ll=train_ll, train_mse=train_mse,

@@ -7,7 +7,10 @@ posterior-predictive sample trajectories, score
     MSE = mean over points of  (y - mean_s pred_s)^2
 
 with an optional per-dim rescaling for standardized data. Host-side numpy,
-like the reference (metrics are offline).
+like the reference (metrics are offline), plus a jittable device-side variant
+(`mixture_summary_device`) for in-training tracking evals where fetching the
+full (S, N, T, D_full) prediction tensor through the TPU tunnel would dwarf
+the solve itself (VERDICT r4 item 1).
 """
 
 from __future__ import annotations
@@ -28,6 +31,30 @@ def compute_summary(actual: np.ndarray, predicted: np.ndarray,
     mll = logsumexp(lik_samples, 0, b=1.0 / float(predicted.shape[0])).mean()
     mse = np.power(actual - predicted.mean(0), 2).mean()
     return float(mll), float(mse)
+
+
+def mixture_summary_device(actual, predicted, noise_var):
+    """Jittable `compute_summary`: (actual (N,T,D), predicted (S,N,T,D),
+    noise_var (D,)) -> (mll, mse) device scalars.
+
+    Same math as the host version (logsumexp mixture over the S draws with
+    b=1/S, MSE of the posterior mean), evaluated in f32 on device so a
+    tracking eval costs a 2-scalar fetch instead of shipping the full
+    prediction tensor to host numpy. Against the f64 host metric the f32
+    logsumexp agrees to ~1e-5 relative (pinned in tests/test_reference_parity
+    .py::test_device_summary_matches_host); recorded crossings should still
+    use the host metric.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.special import logsumexp as jlse
+
+    nv = noise_var + 1e-8
+    log_norm = -0.5 * jnp.log(2.0 * jnp.pi * nv)
+    lik = log_norm - 0.5 * (actual[None] - predicted) ** 2 / nv
+    s = predicted.shape[0]
+    mll = jlse(lik, axis=0, b=1.0 / s).mean()
+    mse = ((actual - predicted.mean(0)) ** 2).mean()
+    return mll, mse
 
 
 def compute_mse(actual: np.ndarray, predicted: np.ndarray, ys_scale=1.0) -> float:

@@ -80,25 +80,25 @@ def _stub_torchdiffeq():
     sys.modules.setdefault("torchdiffeq", stub)
 
 
-def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
-    """The actual reference's MoCap-09 shooting train step (torch CPU), at
-    the bench problem's config: subject 09, seqlen 100, 5 PCA latents,
-    M inducing per config, 256 RFF features, 5 MC draws, projected Gaussian
-    likelihood in the 50-D data space."""
-    import numpy as np
+def _build_torch_reference(config: str):
+    """Build the reference's MoCap-09 shooting model at the bench problem's
+    config: subject 09, seqlen 100, 5 PCA latents, M inducing per config,
+    256 RFF features, projected Gaussian likelihood in 50-D data space.
+    Returns (model, Args, data_pca, data_full, projector)."""
     import torch
 
     torch.set_num_threads(1)  # the host has one core; avoid oversubscription
     _stub_torchdiffeq()
     sys.path.insert(0, "/root/reference")
     from src.datasets.mocap import MocapDataset
-    from src.gpode_shooting.mocap_model_builder import build_model, compute_loss
+    from src.gpode_shooting.mocap_model_builder import build_model
     from src.misc.mocap_utils import Latent2DataProjector
     from src.misc.torch_utils import seed_everything
 
     class Args:  # train_mocap_gpode_shooting.py defaults at the bench shape
         num_features = 256
-        num_inducing = {"official": 100, "fast": 100, "scale": 256}[config]
+        num_inducing = {"official": 100, "fast": 100, "scale": 256,
+                        "m256": 256}[config]
         dimwise = True
         q_diag = False
         solver = "rk4"  # fixed-grid stub; the real dopri5 would be slower
@@ -107,7 +107,7 @@ def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
         constraint_type = "gauss"
         constraint_trainable = False
         constraint_initial_scale = 1e-3
-        num_samples = {"official": 5, "fast": 5, "scale": 32}[config]
+        num_samples = {"official": 5, "fast": 5, "scale": 32, "m256": 5}[config]
 
     seed_everything(121)
     data_path = os.path.join(_REPO, "data/mocap")
@@ -118,12 +118,18 @@ def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
                              pca_components=-1, data_normalize=False,
                              pca_normalize=False, seqlen=100)
     projector = Latent2DataProjector(data_pca)
+    model = build_model(data_full.trn.ys, data_pca.trn.ys, projector, Args())
+    return model, Args, data_pca, data_full, projector
 
+
+def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
+    """Median steps/s of the actual reference's train step (torch CPU)."""
+    import torch
+
+    model, Args, data_pca, data_full, _ = _build_torch_reference(config)
+    from src.gpode_shooting.mocap_model_builder import compute_loss
     ys_full = torch.tensor(data_full.trn.ys, dtype=torch.float32)
-    ys_pca = data_pca.trn.ys
     ts = torch.tensor(data_pca.trn.ts, dtype=torch.float32)
-
-    model = build_model(ys_full.numpy(), ys_pca, projector, Args())
     optimizer = torch.optim.Adam(model.parameters(), lr=5e-3)
 
     def one_step():
@@ -148,18 +154,94 @@ def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
             "windows": per_window}
 
 
+def measure_torch_overheads(config: str, eval_draws: int = 128,
+                            probe_draws: int = 4) -> dict:
+    """Pin the reference's OWN init and per-eval wall time for the
+    wall-to-wall comparison in bench_time_to_nll.py.
+
+    init = kernel-param + inducing + shooting-latents initialization
+    (train_mocap_gpode_shooting.py:136-140) PLUS the `eval_sample_size`-draw
+    `compute_predictions` pass its noise-variance init requires (`:140`,
+    default eval_sample_size=128, `:76`). eval = `compute_test_predictions`
+    (the serial per-draw Python loop, mocap_model_builder.py:104-119) +
+    projection + `compute_summary` on the test split. Both prediction loops
+    are timed at `probe_draws` draws and extrapolated linearly to
+    `eval_draws` (the loop is draw-serial; linearity is exact up to cache
+    effects, which favour the reference)."""
+    import torch
+
+    model, Args, data_pca, data_full, projector = _build_torch_reference(
+        config)
+    from src.gpode_shooting.mocap_initialization import (
+        initialize_and_fix_kernel_parameters, initialize_inducing,
+        initialize_latents_with_data)
+    from src.gpode_shooting.mocap_model_builder import (
+        compute_predictions, compute_summary, compute_test_predictions)
+
+    scale = eval_draws / probe_draws
+    train_ts = torch.tensor(data_full.trn.ts, dtype=torch.float32)
+    test_ts = torch.tensor(data_pca.tst.ts, dtype=torch.float32)
+    test_y0 = torch.tensor(data_pca.tst.ys[:, 0], dtype=torch.float32)
+
+    t0 = time.perf_counter()
+    model = initialize_and_fix_kernel_parameters(
+        model, lengthscale_value=1.25, variance_value=0.5, fix=False)
+    model = initialize_inducing(model, data_pca.trn.ys,
+                                data_pca.trn.ts.max(), 1e0)
+    model = initialize_latents_with_data(model, data_pca.trn.ys,
+                                         data_pca.trn.ts)
+    t_init_fixed = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        zs = compute_predictions(model, train_ts,
+                                 eval_sample_size=probe_draws)
+        torch.stack([projector(p) for p in zs])
+    t_init_pred = (time.perf_counter() - t0) * scale
+    init_seconds = t_init_fixed + t_init_pred
+    print(f"  torch-ref init: {t_init_fixed:.1f}s fixed + "
+          f"{t_init_pred:.1f}s ({eval_draws}-draw noisevar predictions, "
+          f"extrapolated from {probe_draws})", flush=True)
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        zs = compute_test_predictions(model, test_y0, test_ts,
+                                      eval_sample_size=probe_draws)
+        ys_pred = torch.stack([projector(p) for p in zs])
+    compute_summary(data_full.tst.ys, ys_pred.numpy(),
+                    model.likelihood.variance.detach().numpy())
+    eval_seconds = (time.perf_counter() - t0) * scale
+    print(f"  torch-ref eval ({eval_draws} draws, extrapolated from "
+          f"{probe_draws}): {eval_seconds:.1f}s", flush=True)
+    return {"init_seconds": round(init_seconds, 1),
+            f"eval_seconds_{eval_draws}_draws": round(eval_seconds, 1),
+            "overheads_method": (
+                f"prediction loops timed at {probe_draws} draws and scaled "
+                f"linearly to {eval_draws} (serial loop; favours the "
+                "reference)")}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="+", default=["official", "fast"],
-                    choices=["official", "fast", "scale"])
+                    choices=["official", "fast", "scale", "m256"])
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--steps", type=int, default=2,
                     help="train steps per timing window")
     ap.add_argument("--out", default=os.path.join(_REPO, "BASELINE_CPU.json"))
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--skip_cpu", action="store_true")
+    ap.add_argument("--torch_overheads", action="store_true",
+                    help="also pin the reference's init + per-eval wall "
+                         "time (for the wall-to-wall ratio)")
     a = ap.parse_args()
 
-    payload = {"provenance": {
+    # merge into an existing pin file instead of clobbering other configs
+    payload = {}
+    if os.path.exists(a.out):
+        with open(a.out) as f:
+            payload = json.load(f)
+    payload["provenance"] = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "host": platform.platform(),
         "cpu_count": os.cpu_count(),
@@ -167,16 +249,24 @@ def main():
                    "cpu-xla in fresh subprocesses; torch reference imported "
                    "from /root/reference with a fixed-grid RK4 torchdiffeq "
                    "stub (favours the reference vs its Python-loop dopri5)"),
-    }}
+    }
     for config in a.configs:
-        entry = {}
-        print(f"[{config}] measuring own step on one CPU core...", flush=True)
-        entry["cpu_xla"] = measure_cpu_xla(config, a.windows, a.steps)
+        entry = payload.get(config, {})
+        if not a.skip_cpu and config != "m256":  # bench.py has no m256 path
+            print(f"[{config}] measuring own step on one CPU core...",
+                  flush=True)
+            entry["cpu_xla"] = measure_cpu_xla(config, a.windows, a.steps)
         if not a.skip_torch:
             print(f"[{config}] measuring the torch reference step...",
                   flush=True)
-            entry["torch_reference"] = measure_torch_reference(
-                config, a.windows, a.steps)
+            prev = entry.get("torch_reference", {})
+            entry["torch_reference"] = {
+                **prev, **measure_torch_reference(config, a.windows, a.steps)}
+        if a.torch_overheads:
+            print(f"[{config}] measuring the torch reference init + eval "
+                  "overheads...", flush=True)
+            entry.setdefault("torch_reference", {}).update(
+                measure_torch_overheads(config))
         payload[config] = entry
         print(json.dumps({config: entry}, indent=2), flush=True)
 

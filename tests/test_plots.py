@@ -98,9 +98,14 @@ def test_mocap_artifact_inventory(tmp_path):
                                       name="plt_data_after_optimization_train")
     plots_mocap.plot_inducing_posterior_3d(params.gp, pred_lat, out,
                                            name="inducing_posterior_train")
+    # standalone time-colored 3-D latent scatter
+    # (reference artifact plt_latents_3d, src/gpode/plots_mocap.py:75-124)
+    plots_mocap.plot_latents_3d(pred_lat, ts, out, num_obs=2,
+                                rng=np.random.RandomState(0))
     for f in ["plt_latents_after_optimization_train.png",
               "plt_data_after_optimization_train.png",
-              "inducing_posterior_train.png"]:
+              "inducing_posterior_train.png",
+              "plt_latents_3d.png"]:
         assert os.path.exists(os.path.join(out, f)), f
 
 
