@@ -56,6 +56,12 @@ def preset_model_args(name: str) -> ModelArgs:
     import dataclasses
     if name == "m256":
         return dataclasses.replace(bench_model_args(), num_inducing=256)
+    if name == "m256_fast":
+        # both documented recommendations at once: the rk4 segment
+        # megakernel (bit-equal step losses to dopri5 on the dt=0.01 grid,
+        # far cheaper to compile) at the M=256 capacity recipe
+        return dataclasses.replace(bench_model_args(fast=True),
+                                   num_inducing=256)
     return bench_model_args(scale=name == "scale", fast=name == "fast")
 
 

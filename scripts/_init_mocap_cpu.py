@@ -31,7 +31,7 @@ sys.path.insert(0, _REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="official",
-                    choices=["official", "fast", "scale", "m256"])
+                    choices=["official", "fast", "scale", "m256", "m256_fast"])
     ap.add_argument("--subject", default="09")
     ap.add_argument("--seqlen", type=int, default=100)
     ap.add_argument("--seed", type=int, default=121)

@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--eval_draws", type=int, default=128)
     ap.add_argument("--track_draws", type=int, default=16)
     ap.add_argument("--preset", default="official",
-                    choices=["official", "fast", "m256"],
+                    choices=["official", "fast", "m256", "m256_fast"],
                     help="official = dopri5 megakernel; fast = rk4 segment "
                          "megakernel (bit-equal step losses on the dt=0.01 "
                          "grid, much cheaper to compile)")
@@ -80,10 +80,15 @@ def main():
 
     # ---- phase 0a: the init pipeline, concurrently on the CPU backend ----
     init_path = f"/tmp/ttn_init_{os.getpid()}.npz"
+    # rk4-eval presets initialize the noise variance inside the CPU
+    # subprocess (its 16-draw predict compiles in seconds there); the dopri5
+    # presets move that predict onto the TPU as the `resid` program (the
+    # dopri5 eval program costs ~35 s to compile on the CPU backend)
+    resid_on_tpu = a.preset in ("official", "m256")
     init_proc = subprocess.Popen(
         [sys.executable, os.path.join(_REPO, "scripts/_init_mocap_cpu.py"),
-         "--preset", a.preset, "--seed", str(a.seed), "--no_noisevar",
-         "--out", init_path],
+         "--preset", a.preset, "--seed", str(a.seed), "--out", init_path]
+        + (["--no_noisevar"] if resid_on_tpu else []),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     import dataclasses
@@ -170,9 +175,9 @@ def main():
     # crossing. Tracing is GIL-bound and cheap; compile RPCs run while the
     # init subprocess owns the core.
     step_lowered = step.lower(shapes, opt_shapes, k_train, ys, ts)
-    queue = [
+    queue = ([("resid", lambda: resid_fn.lower(vshapes))]
+             if resid_on_tpu else []) + [
         ("step", lambda: step_lowered),
-        ("resid", lambda: resid_fn.lower(vshapes)),
         ("opt_init", lambda: jax.jit(opt.init).lower(shapes)),
         ("track", lambda: track_scorer.lower(vshapes, k_eval)),
         ("full", lambda: full_scorer.lower(vshapes, k_eval)),
@@ -206,11 +211,12 @@ def main():
         return gpode.GPODEParams(gp=p.gp, x0=p.states.x0,
                                  likelihood=p.likelihood)
 
-    done_events["resid"].wait()
-    import numpy as np
-    resid_var = np.asarray(compiled["resid"](vp(params)))
-    params = params._replace(likelihood=initialize_noisevar(
-        params.likelihood, 1.5 * resid_var))
+    if resid_on_tpu:
+        import numpy as np
+        done_events["resid"].wait()
+        resid_var = np.asarray(compiled["resid"](vp(params)))
+        params = params._replace(likelihood=initialize_noisevar(
+            params.likelihood, 1.5 * resid_var))
 
     done_events["opt_init"].wait()  # step + resid + opt_init gate training
     opt_state = compiled["opt_init"](params)

@@ -98,7 +98,7 @@ def _build_torch_reference(config: str):
     class Args:  # train_mocap_gpode_shooting.py defaults at the bench shape
         num_features = 256
         num_inducing = {"official": 100, "fast": 100, "scale": 256,
-                        "m256": 256}[config]
+                        "m256": 256, "m256_fast": 256}[config]
         dimwise = True
         q_diag = False
         solver = "rk4"  # fixed-grid stub; the real dopri5 would be slower
@@ -107,7 +107,7 @@ def _build_torch_reference(config: str):
         constraint_type = "gauss"
         constraint_trainable = False
         constraint_initial_scale = 1e-3
-        num_samples = {"official": 5, "fast": 5, "scale": 32, "m256": 5}[config]
+        num_samples = {"official": 5, "fast": 5, "scale": 32, "m256": 5, "m256_fast": 5}[config]
 
     seed_everything(121)
     data_path = os.path.join(_REPO, "data/mocap")
@@ -224,7 +224,7 @@ def measure_torch_overheads(config: str, eval_draws: int = 128,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="+", default=["official", "fast"],
-                    choices=["official", "fast", "scale", "m256"])
+                    choices=["official", "fast", "scale", "m256", "m256_fast"])
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--steps", type=int, default=2,
                     help="train steps per timing window")

@@ -433,3 +433,156 @@ def test_fixed_adams_convergence_order():
         # observed order log2(ratio) in [3, 5.5] per halving
         assert 8.0 < r1 < 45.0, (solver_fn.__name__, errs)
         assert 8.0 < r2 < 45.0, (solver_fn.__name__, errs)
+
+
+# ---------------------------------------------------------------------------
+# Variable-ORDER VCABM parity (VERDICT r4 item 3): the jitted bounded-scan
+# solver against an independent host implementation of the same published
+# algorithm (Shampine-Gordon / Hairer III.5 modified divided differences with
+# torchdiffeq 0.2.0's control rules — torchdiffeq itself is not installable
+# in this image, so semantics are pinned by this loop-and-list transcription
+# of the published method instead)
+# ---------------------------------------------------------------------------
+
+def _vcabm_reference(f, y0, t_end, rtol, atol, first_step, max_order=12,
+                     max_steps=100000):
+    """Returns (y(t_end), nfe, naccept, max_order_seen)."""
+    gamma = [1.0]
+    for m in range(1, max_order + 2):
+        gamma.append(-sum(gamma[i] / (m - i + 1) for i in range(m)))
+
+    t, y = 0.0, np.asarray(y0, dtype=np.float64)
+    fy = np.asarray(f(t, y), dtype=np.float64)
+    prev_t = [t]      # newest first
+    phi = [fy]        # implicit divided differences at the current point
+    order, nfe, naccept, max_seen = 1, 1, 0, 1
+    dt = float(first_step)
+
+    def nrm(v, scale):
+        return float(np.sqrt(np.mean((v / scale) ** 2)))
+
+    for _ in range(max_steps):
+        if t >= t_end:
+            break
+        dt = min(dt, t_end - t)
+        next_t = t + dt
+        k = order
+
+        ephi = [phi[0]]
+        beta = 1.0
+        for j in range(1, min(k + 2, len(phi), len(prev_t))):
+            beta *= (next_t - prev_t[j - 1]) / (prev_t[0] - prev_t[j])
+            ephi.append(beta * phi[j])
+
+        c = [1.0 / q for q in range(1, max_order + 3)]
+        g = [1.0]
+        for j in range(1, k + 1):  # g_0..g_k; level j uses t_{n+1-j}
+            factor = 1.0 if j == 1 else dt / (next_t - prev_t[j - 1])
+            c = [c[q] - c[q + 1] * factor for q in range(len(c) - 1)]
+            g.append(c[0])
+
+        p = y + dt * sum(g[j] * ephi[j] for j in range(min(k, len(ephi))))
+        f_p = np.asarray(f(next_t, p), dtype=np.float64)
+        nfe += 1
+        phi_p = [f_p]
+        for j in range(1, k + 2):
+            prev = phi_p[j - 1]
+            phi_p.append(prev - ephi[j - 1] if j - 1 < len(ephi) else prev)
+
+        y1 = p + dt * g[k] * phi_p[k]
+        scale = atol + rtol * np.maximum(np.abs(y), np.abs(y1))
+        err_k = nrm(dt * (g[k] - g[k - 1]) * phi_p[k], scale)
+        if err_k > 1.0:
+            dt = 0.5 * dt
+            continue
+
+        naccept += 1
+        f_c = np.asarray(f(next_t, y1), dtype=np.float64)
+        nfe += 1
+        phi_c = [f_c]
+        for j in range(1, k + 3):
+            prev = phi_c[j - 1]
+            phi_c.append(prev - ephi[j - 1] if j - 1 < len(ephi) else prev)
+
+        hist_len = naccept + 1
+        if hist_len <= 4 or order < 3:
+            next_order = min(order + 1, 3, max_order)
+        else:
+            err_km1 = nrm(dt * (g[k - 1] - g[k - 2]) * phi_p[k - 1], scale)
+            err_km2 = nrm(dt * (g[k - 2] - g[k - 3]) * phi_p[k - 2], scale)
+            err_kp1 = nrm(dt * gamma[k + 1] * phi_c[k + 1], scale)
+            if min(err_km1, err_km2) < err_k and order > 1:
+                next_order = order - 1
+            elif err_kp1 < err_k and order < max_order:
+                next_order = order + 1
+            else:
+                next_order = order
+        if next_order > order:
+            dt_next = dt
+        else:
+            dt_next = dt * min(10.0, max(0.2, 0.9 * err_k ** (-1.0 / (order + 1))))
+        t, y = next_t, y1
+        prev_t = [t] + prev_t[: max_order]
+        phi = phi_c
+        order = next_order
+        max_seen = max(max_seen, order)
+        dt = dt_next
+    return y, nfe, naccept, max_seen
+
+
+def _fhn_f(t, y):
+    v, w = y[..., 0], y[..., 1]
+    dv = v - v ** 3 / 3.0 - w + 0.5
+    dw = 0.08 * (v + 0.7 - 0.8 * w)
+    return jnp.stack([dv, dw], axis=-1) if hasattr(y, "aval") or isinstance(
+        y, jnp.ndarray) else np.stack([np.asarray(dv), np.asarray(dw)], -1)
+
+
+def _fhn_np(y, t):
+    return [y[0] - y[0] ** 3 / 3 - y[1] + 0.5,
+            0.08 * (y[0] + 0.7 - 0.8 * y[1])]
+
+
+@pytest.mark.parametrize("system,y0,t_end", [
+    ("vdp", [-1.5, 2.5], 7.0),
+    ("fhn", [-1.0, 1.0], 20.0),
+])
+def test_vcabm_order_ramp_nfe_parity(system, y0, t_end):
+    """The jitted variable-order VCABM must track the host reference of the
+    same published algorithm: nfe within +-20% across tolerances 1e-4..1e-8,
+    and solutions at scipy-tolerance accuracy. f64 (1e-8 error control is
+    below f32 resolution)."""
+    from gpode_tpu.ops.ode import odeint_adams_adaptive
+
+    f_jax = _vdp() if system == "vdp" else _fhn_f
+    f_np_t = ((lambda t, y: np.asarray(_vdp_np(y, t)))
+              if system == "vdp" else (lambda t, y: np.asarray(_fhn_np(y, t))))
+    f_scipy = _vdp_np if system == "vdp" else _fhn_np
+    want = scipy_odeint(f_scipy, y0, [0.0, t_end], rtol=1e-12, atol=1e-12)[-1]
+
+    first_step = 1e-3 * t_end  # pinned on both sides: aligned controllers
+    for tol in (1e-4, 1e-6, 1e-8):
+        y_ref, nfe_ref, nacc_ref, maxord = _vcabm_reference(
+            f_np_t, y0, t_end, tol, tol, first_step)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            xs, stats = odeint_adams_adaptive(
+                f_jax, jnp.asarray([y0], dtype=jnp.float64),
+                jnp.asarray([0.0, t_end], dtype=jnp.float64),
+                rtol=tol, atol=tol, max_steps=4096, first_step=first_step)
+            nfe = int(stats.num_rhs_evals)
+            xs = np.asarray(xs)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        # nfe parity with the reference algorithm (+-20%, VERDICT r4 item 3);
+        # the jax side pays first_step's nfe0=1 bookkeeping difference
+        assert abs(nfe - nfe_ref) <= 0.2 * nfe_ref + 2, (
+            system, tol, nfe, nfe_ref)
+        # both reach tolerance-class accuracy against scipy
+        err_jax = np.abs(xs[-1, 0] - want).max()
+        err_ref = np.abs(y_ref - want).max()
+        assert err_jax < 300 * tol + 1e-9, (system, tol, err_jax)
+        assert err_ref < 300 * tol + 1e-9, (system, tol, err_ref)
+    # at the tightest tolerance the order must have ramped past the old
+    # fixed order 4 — the capability this parity item adds
+    assert maxord > 4, maxord
