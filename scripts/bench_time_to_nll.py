@@ -106,7 +106,7 @@ def main():
     from gpode_tpu.train.bench_setup import preset_model_args
     from gpode_tpu.train.evaluation import make_projected_scorer
     from gpode_tpu.train.trainer import (build_frozen_mask, default_optimizer,
-                                         make_train_step)
+                                         make_step_bodies)
     from gpode_tpu.utils.checkpoint import load_checkpoint
 
     margs = preset_model_args(a.preset)
@@ -135,7 +135,6 @@ def main():
     loss_fn = shooting_loss_fn(margs)
     opt = default_optimizer(5e-3)
     frozen = build_frozen_mask(shapes, default_frozen_predicate(margs))
-    step = make_train_step(loss_fn, opt, frozen_mask=frozen)
     opt_shapes = jax.eval_shape(opt.init, shapes)
 
     ys = jnp.asarray(data_full.trn.ys)
@@ -151,6 +150,25 @@ def main():
         test_x0, num_draws=a.eval_draws)
     vshapes = gpode.GPODEParams(gp=shapes.gp, x0=shapes.states.x0,
                                 likelihood=shapes.likelihood)
+
+    def loss_at(p, sub, itr, *batch):
+        return loss_fn(p, sub, *batch)
+
+    step_body, _ = make_step_bodies(loss_at, opt, frozen)
+
+    @jax.jit
+    def chunk_step(params, opt_state, key, ys_, ts_):
+        """eval_every train steps fused into ONE scan program: AOT
+        executables dispatch through a slow Python path (~10-20 ms/call
+        over the tunnel, measured as the 32 s -> 250 s train-time swings);
+        one call per eval window makes that overhead irrelevant."""
+        def body(c, _):
+            p, o, k = c
+            p, o, k, terms = step_body(p, o, k, ys_, ts_)
+            return (p, o, k), terms.loss
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=a.eval_every)
+        return params, opt_state, key, losses[-1]
 
     # init noise-variance program: 16-draw predict on the training split ->
     # residual variance in data space (train/experiments.py run_mocap; moved
@@ -174,7 +192,11 @@ def main():
     # blocked on, while still compiling); the full eval only at the first
     # crossing. Tracing is GIL-bound and cheap; compile RPCs run while the
     # init subprocess owns the core.
-    step_lowered = step.lower(shapes, opt_shapes, k_train, ys, ts)
+    if a.num_iter % a.eval_every:
+        raise SystemExit("--num_iter must be a multiple of --eval_every "
+                         "(the step program is a fused scan of eval_every "
+                         "steps)")
+    step_lowered = chunk_step.lower(shapes, opt_shapes, k_train, ys, ts)
     queue = ([("resid", lambda: resid_fn.lower(vshapes))]
              if resid_on_tpu else []) + [
         ("step", lambda: step_lowered),
@@ -244,14 +266,12 @@ def main():
     n_full_evals = 0
     itr = 0
     while itr < a.num_iter:
-        chunk = min(a.eval_every, a.num_iter - itr)
         t0 = time.perf_counter()
-        for _ in range(chunk):
-            params, opt_state, k, terms = compiled["step"](
-                params, opt_state, k, ys, ts)
-        final_loss = float(terms.loss)  # hard sync through the tunnel
+        params, opt_state, k, last_loss = compiled["step"](
+            params, opt_state, k, ys, ts)
+        final_loss = float(last_loss)  # hard sync through the tunnel
         train_seconds += time.perf_counter() - t0
-        itr += chunk
+        itr += a.eval_every
 
         t0 = time.perf_counter()
         res = run_eval("track", params, itr, block=itr >= a.num_iter)
