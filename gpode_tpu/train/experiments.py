@@ -89,6 +89,10 @@ class ExperimentArgs:
     # segment-overfitting regime documented in RESULTS.md.
     val_freq: int = 500
     val_draws: int = 32
+    # MC-draw-count schedule, e.g. "5:8000,32:2000" (stage pairs
+    # num_samples:iters summing to num_iter; "" = single stage at
+    # num_samples). MoCap drivers only; see run_mocap for the rationale.
+    draw_stages: str = ""
     lr: float = 5e-3
     lr_schedule: str = "constant"
     grad_clip: float = 0.0
@@ -135,6 +139,25 @@ def _eval_cfg(cfg):
     right for one-interval training segments)."""
     return dataclasses.replace(cfg, max_steps=max(512, cfg.max_steps),
                                first_step=None)
+
+
+def _parse_draw_stages(spec: str, default_num_samples: int,
+                       num_iter: int) -> list:
+    """'5:8000,32:2000' -> [(5, 8000), (32, 2000)]; stage iters must sum to
+    num_iter. Empty spec = one stage at the configured num_samples."""
+    if not spec:
+        return [(default_num_samples, num_iter)]
+    stages = []
+    for part in spec.split(","):
+        draws, _, iters = part.partition(":")
+        stages.append((int(draws), int(iters)))
+    total = sum(n for _, n in stages)
+    if total != num_iter:
+        raise ValueError(f"draw_stages iters sum to {total} != num_iter "
+                         f"{num_iter}: {spec!r}")
+    if any(d <= 0 or n <= 0 for d, n in stages):
+        raise ValueError(f"draw_stages entries must be positive: {spec!r}")
+    return stages
 
 
 def _shooting_margs(margs: ModelArgs, shooting_variant: bool) -> ModelArgs:
@@ -568,8 +591,6 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
             _plot_mocap_predictions("after_initialization", np.asarray(init_zs),
                                     init_ys)
 
-        loss_fn = (shooting_loss_fn(margs) if shooting_variant
-                   else gpode_loss_fn(margs))
         frozen = (build_frozen_mask(params, default_frozen_predicate(margs))
                   if shooting_variant else None)
         params, opt_state0, key0, start_iter = _maybe_resume(args, params,
@@ -613,26 +634,68 @@ def run_mocap(args: ExperimentArgs, shooting_variant: bool = False):
         if mesh is not None:
             params, train_ys, train_ts_dev = _place_on_mesh(
                 mesh, params, train_ys, train_ts_dev)
-        trainer = Trainer(loss_fn,
-                          TrainConfig(num_iter=args.num_iter, lr=args.lr,
-                                      lr_schedule=args.lr_schedule,
-                                      grad_clip=args.grad_clip,
-                                      log_freq=args.log_freq, warmup_iters=100,
-                                      checkpoint_every=args.checkpoint_every,
-                                      flatten_opt=args.flatten_opt,
-                                      ncov_expected=_ncov_expected(
-                                          shooting_variant, data_pca.trn.ts)),
-                          frozen_mask=frozen, logger=logger,
-                          checkpoint_path=os.path.join(args.save,
-                                                       "checkpt.npz"),
-                          callback=val_callback, callback_every=args.val_freq,
-                          step_factory=step_factory,
-                          pass_iteration=(shooting_variant
-                                          and margs.constraint_anneal_iters > 0))
-        params, opt_state, key_end = trainer.train(
-            params, key0 if key0 is not None else k_train,
-            train_ys, train_ts_dev,
-            start_iter=start_iter, opt_state=opt_state0)
+
+        # --draw_stages: train the SAME params through a schedule of MC draw
+        # counts, e.g. "5:8000,32:2000" (the round-3 scale ablation showed
+        # the 5-draw estimator's gradient noise finds better-extrapolating
+        # basins while many draws refine; the schedule trains the graded
+        # M=256/S=32 config to reference-class quality, RESULTS.md). Draw
+        # count is a sampling-batch shape, not a parameter shape, so
+        # params/opt_state/meters carry across stages; each stage gets its
+        # own compiled step.
+        stages = _parse_draw_stages(args.draw_stages, margs.num_samples,
+                                    args.num_iter)
+        key_end = key0 if key0 is not None else k_train
+        opt_state = opt_state0
+        trainer = None
+        stage_start = 1
+        for s_draws, s_iters in stages:
+            stage_end = stage_start + s_iters - 1
+            if start_iter > stage_end:
+                stage_start = stage_end + 1
+                continue  # resume landed past this stage
+            margs_s = dataclasses.replace(margs, num_samples=s_draws)
+            loss_fn_s = (shooting_loss_fn(margs_s) if shooting_variant
+                         else gpode_loss_fn(margs_s))
+            sf_s = step_factory
+            if mesh is not None and s_draws != margs.num_samples:
+                sf_s, _ = _mesh_step_factory(args, margs_s, logger,
+                                             shooting_variant)
+            prev = trainer
+            trainer = Trainer(loss_fn_s,
+                              TrainConfig(num_iter=stage_end, lr=args.lr,
+                                          lr_schedule=args.lr_schedule,
+                                          grad_clip=args.grad_clip,
+                                          log_freq=args.log_freq,
+                                          warmup_iters=100,
+                                          checkpoint_every=args.checkpoint_every,
+                                          flatten_opt=args.flatten_opt,
+                                          ncov_expected=_ncov_expected(
+                                              shooting_variant,
+                                              data_pca.trn.ts)),
+                              frozen_mask=frozen, logger=logger,
+                              checkpoint_path=os.path.join(args.save,
+                                                           "checkpt.npz"),
+                              callback=val_callback,
+                              callback_every=args.val_freq,
+                              step_factory=sf_s,
+                              pass_iteration=(shooting_variant
+                                              and margs.constraint_anneal_iters
+                                              > 0))
+            if prev is not None:
+                # meters continue across stages: one uninterrupted trace
+                for name in ("loss_meter", "observ_nll_meter",
+                             "state_kl_meter", "init_kl_meter",
+                             "inducing_kl_meter", "time_meter"):
+                    setattr(trainer, name, getattr(prev, name))
+            if len(stages) > 1:
+                logger.info(f"[STAGE] iters {max(stage_start, start_iter)}-"
+                            f"{stage_end}: num_samples={s_draws}")
+            params, opt_state, key_end = trainer.train(
+                params, key_end, train_ys, train_ts_dev,
+                start_iter=max(stage_start, start_iter),
+                opt_state=opt_state)
+            stage_start = stage_end + 1
         logger.info("********** Optimization completed **********")
         from gpode_tpu.train.trainer import save_trace
         save_trace(trainer, os.path.join(args.save, "optimization_trace.json"),

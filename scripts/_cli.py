@@ -117,6 +117,11 @@ def add_mocap_flags(p: argparse.ArgumentParser):
     p.add_argument("--val_freq", type=int, default=500,
                    help="Validation-eval cadence in iterations (0 = off); "
                         "tracks val LL/MSE and keeps the best checkpoint")
+    p.add_argument("--draw_stages", type=str, default="",
+                   help="MC-draw schedule 'S1:N1,S2:N2' (stage iters must "
+                        "sum to num_iter); trains the same params through "
+                        "stages of num_samples — the at-scale S=32 recipe "
+                        "is '5:8000,32:2000' (RESULTS.md)")
     p.add_argument("--val_draws", type=int, default=32,
                    help="Posterior draws per validation evaluation")
 

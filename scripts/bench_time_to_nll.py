@@ -80,15 +80,15 @@ def main():
 
     # ---- phase 0a: the init pipeline, concurrently on the CPU backend ----
     init_path = f"/tmp/ttn_init_{os.getpid()}.npz"
-    # rk4-eval presets initialize the noise variance inside the CPU
-    # subprocess (its 16-draw predict compiles in seconds there); the dopri5
-    # presets move that predict onto the TPU as the `resid` program (the
-    # dopri5 eval program costs ~35 s to compile on the CPU backend)
-    resid_on_tpu = a.preset in ("official", "m256")
+    # The noise-variance init runs INSIDE the CPU subprocess for every
+    # preset: its 16-draw predict compiles in a predictable ~5 s (rk4 eval)
+    # to ~35 s (dopri5 eval) there, while the equivalent TPU `resid` program
+    # paid the tunnel-compile roulette (measured 10 s, 85 s, 298 s, 914 s
+    # for the same program on different runs).
+    resid_on_tpu = False
     init_proc = subprocess.Popen(
         [sys.executable, os.path.join(_REPO, "scripts/_init_mocap_cpu.py"),
-         "--preset", a.preset, "--seed", str(a.seed), "--out", init_path]
-        + (["--no_noisevar"] if resid_on_tpu else []),
+         "--preset", a.preset, "--seed", str(a.seed), "--out", init_path],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     import dataclasses

@@ -316,3 +316,26 @@ def test_eval_only_reenters_and_reproduces_final_eval(tmp_path):
     with pytest.raises(FileNotFoundError, match="eval_only"):
         run_vdp(ExperimentArgs(**{**kwargs, "save": str(tmp_path / "none")},
                                eval_only=True), shooting_variant=False)
+
+
+def test_draw_stages_schedule(tmp_path):
+    """--draw_stages trains the same params through staged MC draw counts
+    (the at-scale S=32 recipe, VERDICT r4 item 2): meters continue across
+    stages as one uninterrupted trace, and a bad spec fails loudly."""
+    from gpode_tpu.train.experiments import (ExperimentArgs,
+                                             _parse_draw_stages, run_mocap)
+
+    assert _parse_draw_stages("", 5, 100) == [(5, 100)]
+    assert _parse_draw_stages("2:30,4:70", 5, 100) == [(2, 30), (4, 70)]
+    with pytest.raises(ValueError, match="sum"):
+        _parse_draw_stages("2:30,4:30", 5, 100)
+
+    args = ExperimentArgs(num_inducing=8, num_features=16, num_latents=3,
+                          solver="rk4", ts_dense_scale=3, max_steps=16,
+                          data_seqlen=15, num_iter=6, num_samples=2,
+                          draw_stages="2:3,3:3", eval_sample_size=2,
+                          log_freq=2, plots=False, val_freq=0,
+                          data_path="data/mocap", save=str(tmp_path))
+    _, trainer, metrics = run_mocap(args, shooting_variant=True)
+    assert trainer.loss_meter.iters == list(range(1, 7))
+    assert np.isfinite(metrics["test_mse"])
