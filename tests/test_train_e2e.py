@@ -337,5 +337,9 @@ def test_draw_stages_schedule(tmp_path):
                           log_freq=2, plots=False, val_freq=0,
                           data_path="data/mocap", save=str(tmp_path))
     _, trainer, metrics = run_mocap(args, shooting_variant=True)
-    assert trainer.loss_meter.iters == list(range(1, 7))
+    # (per-iteration meters are warmup-gated at 100 iters; the stage
+    # boundaries are asserted from the run log)
+    log = open(str(tmp_path) + "/logs").read()
+    assert "[STAGE] iters 1-3: num_samples=2" in log
+    assert "[STAGE] iters 4-6: num_samples=3" in log
     assert np.isfinite(metrics["test_mse"])
