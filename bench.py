@@ -33,7 +33,7 @@ import time
 def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
                           scale: bool = False, fast: bool = False,
                           mesh_spec: str | None = None,
-                          parallel: str = "shard_map") -> dict:
+                          parallel: str = "shard_map", preset=None) -> dict:
     import jax
     cache_dir = os.environ.get("GPODE_TPU_JAX_CACHE",
                                os.path.expanduser("~/.cache/gpode_tpu_jax"))
@@ -48,7 +48,12 @@ def measure_steps_per_sec(iters: int = 200, warmup: int = 3,
 
     # the canonical bench problem — ONE definition shared with the
     # diagnostic scripts (gpode_tpu/train/bench_setup.py)
-    args, params, ys, ts = build_bench_problem(scale=scale, fast=fast)
+    if preset:
+        from gpode_tpu.train.bench_setup import preset_model_args
+        args, params, ys, ts = build_bench_problem(
+            args=preset_model_args(preset))
+    else:
+        args, params, ys, ts = build_bench_problem(scale=scale, fast=fast)
 
     loss_fn = shooting_loss_fn(args)
     # flat-vector Adam — what the Trainer runs by default (round 4: +8%)
@@ -137,6 +142,12 @@ def main():
                         help="graded config 5: 256 inducing, 32 MC paths")
     parser.add_argument("--fast", action="store_true",
                         help="rk4 fast path (same losses on the MoCap grid)")
+    parser.add_argument("--preset", default=None,
+                        choices=("official", "fast", "scale", "m256",
+                                 "m256_fast"),
+                        help="named config preset (overrides --scale/--fast; "
+                             "m256* = the recommended at-scale recipe, "
+                             "256 inducing / 5 draws)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="device mesh for the sharded step, e.g. 'dp=2,mc=4'")
     parser.add_argument("--parallel", type=str, default="shard_map",
@@ -151,13 +162,15 @@ def main():
 
     result = measure_steps_per_sec(iters=cli.iters, scale=cli.scale,
                                    fast=cli.fast, mesh_spec=cli.mesh,
-                                   parallel=cli.parallel)
+                                   parallel=cli.parallel, preset=cli.preset)
 
     vs_baseline = 1.0
     cpu_steps = None
     torch_steps = None
     baseline_source = None
-    config_name = "scale" if cli.scale else "fast" if cli.fast else "official"
+    config_name = (cli.preset if cli.preset else
+                   "scale" if cli.scale else "fast" if cli.fast else
+                   "official")
     pinned = (load_pinned_baseline(config_name)
               if not cli.no_baseline and result["platform"] != "cpu" else None)
     if pinned is not None:
@@ -190,9 +203,9 @@ def main():
             vs_baseline = 1.0
 
     payload = {
-        "metric": ("mocap_shooting_scale_elbo_steps_per_sec" if cli.scale
-                   else "mocap_shooting_fast_elbo_steps_per_sec" if cli.fast
-                   else "mocap_shooting_elbo_steps_per_sec"),
+        "metric": ("mocap_shooting_elbo_steps_per_sec" if config_name ==
+                   "official" else
+                   f"mocap_shooting_{config_name}_elbo_steps_per_sec"),
         "value": round(result["steps_per_sec"], 4),
         "unit": "steps/sec",
         "vs_baseline": round(vs_baseline, 4),
