@@ -63,6 +63,34 @@ def set_force_interpret(enabled: bool):
 def force_interpret_active() -> bool:
     return _FORCE_INTERPRET
 
+
+# Backward-tile formulation seam. "auto" = the VPU loop form everywhere:
+# the round-5 MXU matmul reformulation of the per-input-dim cotangent band
+# (two MXU dots + rank-1 reductions instead of Din (TN, M) difference
+# arrays) was MEASURED AND REJECTED — same-process alternating A/B
+# (scripts/diag_bwd_formulation.py): mxu/loop = 1.049 at the official shape
+# (M=100, S=256, 2970 rows), 0.966 (noise-class) at M=256/2970, 1.167 at
+# the scale shape (M=256, 19008 rows); it also VMEM-OOMs the rk4 megakernel
+# backward at tiny shapes (M=8/Din=3: Mosaic pads every dot operand to full
+# MXU tiles, 16.47 MiB stack). The loop form IS the VPU-bound floor
+# (PROFILE.md round 5). The "mxu" path stays behind this seam as the
+# reproducible rejection evidence; changing the seam drops the jit caches.
+_BWD_FORMULATION = "auto"
+
+
+def set_bwd_formulation(mode: str):
+    global _BWD_FORMULATION
+    if mode not in ("auto", "loop", "mxu"):
+        raise ValueError(f"bwd formulation must be auto|loop|mxu, got {mode}")
+    if mode != _BWD_FORMULATION:
+        _BWD_FORMULATION = mode
+        jax.clear_caches()
+
+
+def _use_mxu_bwd(m: int, s: int) -> bool:
+    del m, s  # auto = loop at every shape (measured; see seam comment)
+    return _BWD_FORMULATION == "mxu"
+
 # Scoped-VMEM budgets for auto tile sizing (the hardware limit is 16 MiB;
 # the estimates below run ~1.4x the compiler's actual stack allocation, so a
 # 16 MiB estimate budget usually lands well under the hardware limit).
@@ -256,8 +284,9 @@ def _rhs_vjp_tile(x, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
     d_out = inv_ls_ref.shape[0]
     din = x.shape[1]
     s = omega_ref.shape[2]
+    use_mxu = _use_mxu_bwd(z.shape[0], s)
 
-    dx_cols = []          # [d][k] -> (TN, 1)
+    dx_cols = []          # [d] -> (TN, Din)
     dz_cols = []          # [d][k] -> (M,)
     dls_rows = []         # [d] -> (Din,) scalars list
     dvar_rows = []        # [d] -> scalar
@@ -291,36 +320,75 @@ def _rhs_vjp_tile(x, z, inv_ls_ref, var_ref, omega_ref, phase_ref, w_ref,
         dvar_rows.append(dvar_d + jnp.sum(dgram * gram) / var_d)
         dsq = -0.5 * gram * dgram                   # (TN, M)
 
-        # ---- per-input-dim chains (static Din loop) ----
-        dx_parts, dz_parts, dls_parts, domega_parts = [], [], [], []
-        for k in range(din):
-            inv = inv_ls_ref[d, k]
-            # RFF chain: dxo @ omega[k]^T and x[:,k]^T @ dxo
-            dx_rff = jnp.sum(dxo * omega_ref[d, k][None, :], axis=1,
-                             keepdims=True)                          # (TN, 1)
-            domega_parts.append(jnp.sum(x[:, k:k + 1] * dxo, axis=0))  # (S,)
-            # Gram chain: d sq / d x_k = 2 (x_k - z_k) inv^2
-            diff = x[:, k:k + 1] - z[:, k][None, :]                  # (TN, M)
-            w_sq = dsq * diff                                        # (TN, M)
-            dx_gram = 2.0 * inv * inv * jnp.sum(w_sq, axis=1,
-                                                keepdims=True)       # (TN, 1)
-            dz_parts.append(-2.0 * inv * inv * jnp.sum(w_sq, axis=0))  # (M,)
-            # d sq / d ls_k = -2 (x_k - z_k)^2 / ls^3
-            dls_parts.append(-2.0 * inv ** 3 * jnp.sum(w_sq * diff))
-            dx_parts.append(dx_rff + dx_gram)
-        dx_cols.append(dx_parts)
-        dz_cols.append(dz_parts)
-        dls_rows.append(dls_parts)
-        domega_rows.append(jnp.stack(domega_parts, axis=0))          # (Din, S)
+        if use_mxu:
+            # ---- per-input-dim chains, MXU matmul form (round 5) ----
+            # The loop form below materializes Din pairs of (TN, M) arrays
+            # (diff = x_k - z_k and dsq * diff) plus three reductions each —
+            # the backward's M-proportional VPU band (PROFILE.md round-4:
+            # the only double-digit kernel-vs-floor gap). Expanding the
+            # square,
+            #   sum_{t,m} dsq (x_tk - z_mk)   = x_k . rowsum - (dsq @ z)_k
+            #   sum_{t,m} dsq (x_tk - z_mk)^2 = x_k^2 . rowsum
+            #                                   - 2 x_k . (dsq @ z)_k
+            #                                   + z_k^2 . colsum
+            # turns the band into TWO MXU matmuls (dsq @ z, dsq^T @ x) +
+            # rank-1 reductions; same for the RFF chain (dxo @ omega^T,
+            # x^T @ dxo). Gradients agree with the loop form to f32
+            # reduction order (tests/test_pallas.py grad-parity cases run
+            # both formulations).
+            inv_sq = (inv_ls_ref[d] * inv_ls_ref[d])[None, :]       # (1, Din)
+            rowsum = jnp.sum(dsq, axis=1, keepdims=True)            # (TN, 1)
+            colsum = jnp.sum(dsq, axis=0, keepdims=True)            # (1, M)
+            hi = jax.lax.Precision.HIGHEST
+            dsq_z = jnp.dot(dsq, z, preferred_element_type=jnp.float32,
+                            precision=hi)                           # (TN, Din)
+            dsqT_x = jnp.dot(dsq.T, x, preferred_element_type=jnp.float32,
+                             precision=hi)                          # (M, Din)
+            dx_rff = jnp.dot(dxo, omega_ref[d].T,
+                             preferred_element_type=jnp.float32,
+                             precision=hi)                          # (TN, Din)
+            domega_rows.append(jnp.dot(x.T, dxo,
+                                       preferred_element_type=jnp.float32,
+                                       precision=hi))
+            dx_gram = 2.0 * inv_sq * (x * rowsum - dsq_z)           # (TN, Din)
+            dz_d = -2.0 * inv_sq * (dsqT_x - z * colsum.T)          # (M, Din)
+            # dls_k = -2 inv^3 sum dsq (x_k - z_k)^2
+            sq_sum = (jnp.sum(x * x * rowsum, axis=0)
+                      - 2.0 * jnp.sum(x * dsq_z, axis=0)
+                      + jnp.sum(z * z * colsum.T, axis=0))          # (Din,)
+            dls_rows.append(-2.0 * inv_ls_ref[d] ** 3 * sq_sum)
+            dx_cols.append(dx_rff + dx_gram)
+            dz_cols.append(dz_d)
+        else:
+            # ---- per-input-dim chains, VPU loop form (small shapes:
+            # Mosaic pads tiny dot operands to full MXU tiles, which VMEM-
+            # OOMs the megakernel backward at M=8-class shapes) ----
+            dx_parts, dz_parts, dls_parts, domega_parts = [], [], [], []
+            for k in range(din):
+                inv = inv_ls_ref[d, k]
+                # RFF chain: dxo @ omega[k]^T and x[:,k]^T @ dxo
+                dx_rff = jnp.sum(dxo * omega_ref[d, k][None, :], axis=1,
+                                 keepdims=True)                      # (TN, 1)
+                domega_parts.append(jnp.sum(x[:, k:k + 1] * dxo,
+                                            axis=0))                 # (S,)
+                # Gram chain: d sq / d x_k = 2 (x_k - z_k) inv^2
+                diff = x[:, k:k + 1] - z[:, k][None, :]              # (TN, M)
+                w_sq = dsq * diff                                    # (TN, M)
+                dx_gram = 2.0 * inv * inv * jnp.sum(w_sq, axis=1,
+                                                    keepdims=True)   # (TN, 1)
+                dz_parts.append(-2.0 * inv * inv * jnp.sum(w_sq, axis=0))
+                # d sq / d ls_k = -2 (x_k - z_k)^2 / ls^3
+                dls_parts.append(-2.0 * inv ** 3 * jnp.sum(w_sq * diff))
+                dx_parts.append(dx_rff + dx_gram)
+            dx_cols.append(jnp.concatenate(dx_parts, axis=1))        # (TN, Din)
+            dz_cols.append(jnp.stack(dz_parts, axis=1))              # (M, Din)
+            dls_rows.append(jnp.stack(dls_parts))                    # (Din,)
+            domega_rows.append(jnp.stack(domega_parts, axis=0))      # (Din, S)
 
     # assemble whole-block tile contributions
-    dx_tile = jnp.concatenate(
-        [sum(dx_cols[d][k] for d in range(d_out)) for k in range(din)],
-        axis=1)                                                       # (TN, Din)
-    dz_tile = jnp.stack(
-        [sum(dz_cols[d][k] for d in range(d_out)) for k in range(din)],
-        axis=1)                                                       # (M, Din)
-    dls_tile = jnp.array(dls_rows, dtype=jnp.float32)                 # (D, Din)
+    dx_tile = sum(dx_cols)                                            # (TN, Din)
+    dz_tile = sum(dz_cols)                                            # (M, Din)
+    dls_tile = jnp.stack(dls_rows, axis=0)                            # (D, Din)
     dvar_tile = jnp.array(dvar_rows, dtype=jnp.float32).reshape(d_out, 1)
     domega_tile = jnp.stack(domega_rows, axis=0)                      # (D, Din, S)
     dphase_tile = jnp.stack(dphase_rows, axis=0)                      # (D, 1, S)

@@ -423,3 +423,28 @@ def test_fused_rhs_respects_reference_rff_scale():
                                        err_msg=f"ref_mode={ref_mode}")
         finally:
             set_rff_reference_scale(False)
+
+
+@pytest.mark.slow
+def test_bwd_mxu_formulation_matches_loop():
+    """The measured-and-rejected MXU backward formulation stays behind the
+    `set_bwd_formulation` seam as reproducible evidence
+    (scripts/diag_bwd_formulation.py, PROFILE.md round 5); its cotangents
+    must keep matching the default loop form so the evidence doesn't rot."""
+    from gpode_tpu.ops.pallas_kernels import (_fused_rhs_bwd_pallas,
+                                              set_bwd_formulation)
+    inputs = _setup(n=77, s=32)
+    g = jnp.asarray(np.random.default_rng(3).normal(
+        size=(77, 4)).astype(np.float32))
+    try:
+        set_bwd_formulation("loop")
+        want = _fused_rhs_bwd_pallas(*inputs, g, tile_n=32, interpret=_INTERP)
+        set_bwd_formulation("mxu")
+        got = _fused_rhs_bwd_pallas(*inputs, g, tile_n=32, interpret=_INTERP)
+    finally:
+        set_bwd_formulation("auto")
+    names = ("dx", "dz", "dls", "dvar", "domega", "dphase", "dw", "dnu")
+    for nm, a, b in zip(names, want, got):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4 * scale, err_msg=nm)
