@@ -47,9 +47,7 @@ def measure_cpu_xla(config: str, windows: int, steps: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(_REPO, "bench.py"),
              "--platform", "cpu", "--iters", str(steps), "--no-baseline",
-             "--json-only"]
-            + (["--scale"] if config == "scale" else [])
-            + (["--fast"] if config == "fast" else []),
+             "--json-only", "--preset", config],
             capture_output=True, text=True, timeout=3600, check=True)
         val = json.loads(out.stdout.strip().splitlines()[-1])["value"]
         per_window.append(val)
@@ -252,7 +250,7 @@ def main():
     }
     for config in a.configs:
         entry = payload.get(config, {})
-        if not a.skip_cpu and config != "m256":  # bench.py has no m256 path
+        if not a.skip_cpu:
             print(f"[{config}] measuring own step on one CPU core...",
                   flush=True)
             entry["cpu_xla"] = measure_cpu_xla(config, a.windows, a.steps)
