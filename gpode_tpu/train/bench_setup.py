@@ -99,3 +99,53 @@ def build_bench_problem(scale: bool = False, fast: bool = False,
     ys = jnp.asarray(data_full.trn.ys)   # likelihood scored in 50-D data space
     ts = jnp.asarray(data_pca.trn.ts)
     return args, params, ys, ts
+
+
+def extrapolate_baselines(crossings: dict, pinned: dict, eval_every: int,
+                          eval_draws: int = 128) -> dict:
+    """Recompute a TIME_TO_NLL payload's `cpu_extrapolation` block from a
+    pinned BASELINE_CPU.json preset entry (single source of truth — lets
+    merge_time_to_nll refresh old runs when a new baseline is pinned).
+
+    Baselines: `cpu_xla` (this framework's own step on one CPU core),
+    `torch_reference` (the actual reference with the FAVOURABLE fixed-grid
+    RK4 torchdiffeq stub) and `torch_reference_dopri5` (the reference at its
+    actual default solver via the faithful adaptive-dopri5 stub —
+    train_mocap_gpode_shooting.py:62, src/core/flow.py:41). Train-only
+    ratios charge the CPU sides nothing for init/evals/compile; wall-to-wall
+    additionally charges the torch side its own pinned init + serial
+    per-eval time at the same cadence."""
+    out = {}
+    for tgt, c in crossings.items():
+        entry = {}
+        wall = c["wall_seconds_incl_init_compile_evals"]
+        cpu_sps = pinned.get("cpu_xla", {}).get("steps_per_sec")
+        if cpu_sps:
+            cpu_s = c["iter"] / cpu_sps
+            entry["cpu_xla_seconds_extrapolated"] = round(cpu_s, 1)
+            entry["speedup_vs_cpu_xla_train_only"] = round(
+                cpu_s / max(c["train_seconds"], 1e-9), 1)
+            entry["speedup_vs_cpu_xla_incl_compile_evals"] = round(
+                cpu_s / wall, 1)
+        for key in ("torch_reference", "torch_reference_dopri5"):
+            tr = pinned.get(key, {})
+            sps = tr.get("steps_per_sec")
+            if not sps:
+                continue
+            t_s = c["iter"] / sps
+            entry[f"{key}_seconds_extrapolated"] = round(t_s, 1)
+            entry[f"speedup_vs_{key}_train_only"] = round(
+                t_s / max(c["train_seconds"], 1e-9), 1)
+            entry[f"speedup_vs_{key}_incl_compile_evals"] = round(
+                t_s / wall, 1)
+            t_init = tr.get("init_seconds")
+            t_eval = tr.get(f"eval_seconds_{eval_draws}_draws")
+            if t_init is not None and t_eval is not None:
+                n_evals = (c["iter"] // eval_every) + 1
+                t_wall = t_s + t_init + n_evals * t_eval
+                entry[f"{key}_wall_seconds_extrapolated"] = round(t_wall, 1)
+                suffix = "" if key == "torch_reference" else "_dopri5"
+                entry[f"speedup_wall_to_wall{suffix}"] = round(
+                    t_wall / wall, 1)
+        out[tgt] = entry
+    return out

@@ -319,43 +319,16 @@ def main():
     final = dict(iter=itr, test_ll=round(ll_f, 4), test_mse=round(mse_f, 3))
     wall_total = time.perf_counter() - t_start
 
-    # ---- phase 2: extrapolated baselines ----
+    # ---- phase 2: extrapolated baselines (shared helper; also covers the
+    # faithful-dopri5 torch baseline when pinned) ----
+    from gpode_tpu.train.bench_setup import extrapolate_baselines
     pinned_path = os.path.join(_REPO, "BASELINE_CPU.json")
     baselines = {}
     if os.path.exists(pinned_path):
         with open(pinned_path) as f:
             pinned = json.load(f).get(a.preset, {})
-        cpu_sps = pinned.get("cpu_xla", {}).get("steps_per_sec")
-        torch_sps = pinned.get("torch_reference", {}).get("steps_per_sec")
-        torch_init = pinned.get("torch_reference", {}).get("init_seconds")
-        torch_eval = pinned.get("torch_reference", {}).get(
-            f"eval_seconds_{a.eval_draws}_draws")
-        for tgt, c in crossings.items():
-            entry = {}
-            wall = c["wall_seconds_incl_init_compile_evals"]
-            if cpu_sps:
-                cpu_s = c["iter"] / cpu_sps
-                entry["cpu_xla_seconds_extrapolated"] = round(cpu_s, 1)
-                entry["speedup_vs_cpu_xla_train_only"] = round(
-                    cpu_s / max(c["train_seconds"], 1e-9), 1)
-                entry["speedup_vs_cpu_xla_incl_compile_evals"] = round(
-                    cpu_s / wall, 1)
-            if torch_sps:
-                t_s = c["iter"] / torch_sps
-                entry["torch_reference_seconds_extrapolated"] = round(t_s, 1)
-                entry["speedup_vs_torch_reference_train_only"] = round(
-                    t_s / max(c["train_seconds"], 1e-9), 1)
-                entry["speedup_vs_torch_reference_incl_compile_evals"] = (
-                    round(t_s / wall, 1))
-                if torch_init is not None and torch_eval is not None:
-                    # apples-to-apples: the torch side pays ITS measured
-                    # init and serial per-eval cost at the same cadence
-                    n_evals = (c["iter"] // a.eval_every) + 1
-                    t_wall = t_s + torch_init + n_evals * torch_eval
-                    entry["torch_reference_wall_seconds_extrapolated"] = (
-                        round(t_wall, 1))
-                    entry["speedup_wall_to_wall"] = round(t_wall / wall, 1)
-            baselines[tgt] = entry
+        baselines = extrapolate_baselines(crossings, pinned, a.eval_every,
+                                          a.eval_draws)
 
     payload = {
         "metric": "mocap09_shooting_time_to_test_nll",

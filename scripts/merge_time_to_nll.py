@@ -4,13 +4,16 @@
 The shared TPU tunnel makes single-run wall-clock numbers a lottery
 (PROFILE.md round 5: identical compiles vary 10-900 s, device execution
 ~3x), so the honest artifact records EVERY run and headlines the best
-complete one, labeled as such. Usage:
+complete one, labeled as such. Each run's `cpu_extrapolation` block is
+RECOMPUTED here from the current BASELINE_CPU.json (single source of truth
+via `bench_setup.extrapolate_baselines`), so newly pinned baselines — e.g.
+the faithful-dopri5 torch reference — apply to old runs too. Usage:
 
     python scripts/merge_time_to_nll.py /tmp/ttn_*.json [--out TIME_TO_NLL.json]
 
-Picks the run with the highest strict ratio
-(`speedup_vs_torch_reference_incl_compile_evals`) at its strictest crossed
-target; the full per-run summary rides in `runs`.
+Picks the run with the highest strict ratio (incl-compile-evals speedup vs
+the dopri5 torch reference if pinned, else the RK4-stub one) at its
+strictest crossed target; the full per-run summary rides in `runs`.
 """
 
 from __future__ import annotations
@@ -18,30 +21,56 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_STRICT_KEYS = ("speedup_vs_torch_reference_dopri5_incl_compile_evals",
+                "speedup_vs_torch_reference_incl_compile_evals")
 
 
 def _best_ratio(payload):
     best = 0.0
     for tgt, e in payload.get("cpu_extrapolation", {}).items():
-        r = e.get("speedup_vs_torch_reference_incl_compile_evals")
-        if r:
-            best = max(best, r)
+        for key in _STRICT_KEYS:
+            r = e.get(key)
+            if r:
+                best = max(best, r)
+                break
     return best
+
+
+def _eval_every(payload):
+    trace = payload.get("trace", [])
+    if len(trace) >= 2:
+        return trace[1]["iter"] - trace[0]["iter"]
+    return 250
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("runs", nargs="+")
+    ap.add_argument("--eval_draws", type=int, default=128)
     ap.add_argument("--out", default=os.path.join(_REPO, "TIME_TO_NLL.json"))
     a = ap.parse_args()
+
+    from gpode_tpu.train.bench_setup import extrapolate_baselines
+
+    with open(os.path.join(_REPO, "BASELINE_CPU.json")) as f:
+        pinned_all = json.load(f)
 
     payloads = []
     for path in a.runs:
         with open(path) as f:
-            payloads.append((path, json.load(f)))
-    payloads = [(p, d) for p, d in payloads if d.get("crossings")]
+            d = json.load(f)
+        if not d.get("crossings"):
+            continue
+        preset = d.get("config", "official").split(" ")[0]
+        d["cpu_extrapolation"] = extrapolate_baselines(
+            d["crossings"], pinned_all.get(preset, {}), _eval_every(d),
+            a.eval_draws)
+        payloads.append((path, d))
     if not payloads:
         raise SystemExit("no run with crossings")
 
@@ -61,10 +90,15 @@ def main():
             "crossings": {
                 t: {"iter": c["iter"],
                     "wall": c["wall_seconds_incl_init_compile_evals"],
-                    "strict_x": d["cpu_extrapolation"].get(t, {}).get(
-                        "speedup_vs_torch_reference_incl_compile_evals"),
-                    "wall_to_wall_x": d["cpu_extrapolation"].get(t, {}).get(
-                        "speedup_wall_to_wall")}
+                    "strict_x_vs_dopri5_ref": d["cpu_extrapolation"].get(
+                        t, {}).get(_STRICT_KEYS[0]),
+                    "strict_x_vs_rk4stub_ref": d["cpu_extrapolation"].get(
+                        t, {}).get(_STRICT_KEYS[1]),
+                    "wall_to_wall_x_vs_dopri5_ref": d[
+                        "cpu_extrapolation"].get(t, {}).get(
+                        "speedup_wall_to_wall_dopri5"),
+                    "x_vs_cpu_xla": d["cpu_extrapolation"].get(t, {}).get(
+                        "speedup_vs_cpu_xla_incl_compile_evals")}
                 for t, c in d["crossings"].items()},
         }
         runs.append(row)
@@ -80,6 +114,7 @@ def main():
         json.dump(merged, f, indent=2)
     print(json.dumps({k: v for k, v in merged.items()
                       if k not in ("trace", "runs")}, indent=2))
+    print(json.dumps(runs, indent=2))
     print(f"runs merged: {len(payloads)}; wrote {a.out}")
 
 

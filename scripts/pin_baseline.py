@@ -58,9 +58,22 @@ def measure_cpu_xla(config: str, windows: int, steps: int) -> dict:
 
 
 def _stub_torchdiffeq():
+    """Install a torchdiffeq stand-in dispatching on `method`: non-dopri5
+    methods get a fixed-grid RK4 (one step per dense-grid interval — FAVOURS
+    the reference, whose default solver is dopri5); `method='dopri5'` gets a
+    faithful reimplementation of torchdiffeq
+    0.2.0's `dopri5` semantics (Dormand-Prince 5(4) with FSAL, Hairer initial
+    step selection, rms error norm, safety/ifactor/dfactor step control, and
+    the quartic `_interp_fit` dense output) — the work profile the reference
+    ACTUALLY pays at its `--solver dopri5` default (train_mocap_gpode_
+    shooting.py:62, src/core/flow.py:41 atol=rtol=1e-6). Per-step Python
+    overhead here is, if anything, LOWER than real torchdiffeq's (no tuple
+    pytrees, no event handling), so the pinned steps/s still favours the
+    reference."""
     import torch
 
-    def odeint(func, x0, ts, rtol=None, atol=None, method=None, options=None):
+    def odeint_rk4(func, x0, ts, rtol=None, atol=None, method=None,
+                   options=None):
         xs, x = [x0], x0
         for i in range(len(ts) - 1):
             t, dt = ts[i], ts[i + 1] - ts[i]
@@ -72,13 +85,102 @@ def _stub_torchdiffeq():
             xs.append(x)
         return torch.stack(xs)
 
+    # Dormand-Prince 5(4) tableau + torchdiffeq's dense-output midpoint
+    _C = (0.2, 0.3, 0.8, 8 / 9, 1.0, 1.0)
+    _A = ((0.2,),
+          (3 / 40, 9 / 40),
+          (44 / 45, -56 / 15, 32 / 9),
+          (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+          (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+          (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84))
+    _B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+    _B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+           187 / 2100, 1 / 40)
+    _BERR = tuple(b - b4 for b, b4 in zip(_B, _B4))
+    _CMID = (6025192743 / 30085553152 / 2, 0.0, 51252292925 / 65400821598 / 2,
+             -2691868925 / 45128329728 / 2, 187940372067 / 1594534317056 / 2,
+             -1776094331 / 19743644256 / 2, 11237099 / 235043384 / 2)
+
+    def _rms(x):
+        return float(x.detach().pow(2).mean().sqrt())
+
+    def _interp_eval(coeffs, t0, dt, t):
+        x = float((t - t0) / dt)
+        a, b, c, d, e = coeffs
+        return (((a * x + b) * x + c) * x + d) * x + e
+
+    def odeint_dopri5(func, x0, ts, rtol=1e-7, atol=1e-9, method=None,
+                      options=None):
+        rtol = 1e-7 if rtol is None else rtol
+        atol = 1e-9 if atol is None else atol
+        t0f, t1f = float(ts[0]), float(ts[-1])
+        y, t = x0, t0f
+        f0 = func(ts[0], y)
+        # Hairer initial step selection (torchdiffeq _select_initial_step)
+        scale = atol + y.abs() * rtol
+        d0, d1 = _rms(y / scale), _rms(f0 / scale)
+        h0 = 1e-6 if (d0 < 1e-5 or d1 < 1e-5) else 0.01 * d0 / d1
+        f1 = func(ts[0] + h0, y + h0 * f0)
+        d2 = _rms((f1 - f0) / scale) / h0
+        if d1 <= 1e-15 and d2 <= 1e-15:
+            h1 = max(1e-6, h0 * 1e-3)
+        else:
+            h1 = (0.01 / max(d1, d2)) ** 0.2
+        dt = min(100 * h0, h1, t1f - t0f)
+
+        outputs, next_i = [x0], 1
+        while next_i < len(ts):
+            if t1f - t < 1e-10:  # endpoint reached within float tolerance
+                outputs.extend([y] * (len(ts) - next_i))
+                break
+            dt = min(dt, t1f - t)
+            # one Dormand-Prince attempt (FSAL: f0 carried over)
+            k = [f0]
+            for ci, ai in zip(_C, _A):
+                yi = y
+                for aij, kj in zip(ai, k):
+                    yi = yi + dt * aij * kj
+                k.append(func(torch.as_tensor(t + ci * dt), yi))
+            y1 = y
+            for bi, ki in zip(_B, k):
+                if bi:
+                    y1 = y1 + dt * bi * ki
+            err = sum(bi * ki for bi, ki in zip(_BERR, k) if bi) * dt
+            ratio = _rms(err / (atol + rtol * torch.maximum(y.abs(),
+                                                            y1.abs())))
+            if ratio <= 1.0:  # accept
+                y_mid = y
+                for ci, ki in zip(_CMID, k):
+                    if ci:
+                        y_mid = y_mid + dt * ci * ki
+                fa, fb = k[0], k[6]
+                coeffs = (  # torchdiffeq _interp_fit quartic
+                    2 * dt * (fb - fa) - 8 * (y1 + y) + 16 * y_mid,
+                    dt * (5 * fa - 3 * fb) + 18 * y + 14 * y1 - 32 * y_mid,
+                    dt * (fb - 4 * fa) - 11 * y - 5 * y1 + 16 * y_mid,
+                    dt * fa, y)
+                t_new = t + dt
+                while next_i < len(ts) and float(ts[next_i]) <= t_new + 1e-12:
+                    outputs.append(_interp_eval(coeffs, t, dt, ts[next_i]))
+                    next_i += 1
+                y, t, f0 = y1, t_new, k[6]
+            factor = (10.0 if ratio == 0.0 else
+                      min(10.0, max(0.2, 0.9 * ratio ** -0.2)))
+            dt = dt * factor
+        return torch.stack(outputs)
+
+    def odeint(func, x0, ts, rtol=None, atol=None, method=None, options=None):
+        if method == "dopri5":
+            return odeint_dopri5(func, x0, ts, rtol=rtol, atol=atol)
+        return odeint_rk4(func, x0, ts)
+
     stub = types.ModuleType("torchdiffeq")
     stub.odeint = odeint
     stub.odeint_adjoint = odeint
-    sys.modules.setdefault("torchdiffeq", stub)
+    sys.modules["torchdiffeq"] = stub
 
 
-def _build_torch_reference(config: str):
+def _build_torch_reference(config: str, solver: str = "rk4"):
     """Build the reference's MoCap-09 shooting model at the bench problem's
     config: subject 09, seqlen 100, 5 PCA latents, M inducing per config,
     256 RFF features, projected Gaussian likelihood in 50-D data space.
@@ -99,7 +201,6 @@ def _build_torch_reference(config: str):
                         "m256": 256, "m256_fast": 256}[config]
         dimwise = True
         q_diag = False
-        solver = "rk4"  # fixed-grid stub; the real dopri5 would be slower
         ts_dense_scale = 2
         use_adjoint = False
         constraint_type = "gauss"
@@ -107,6 +208,10 @@ def _build_torch_reference(config: str):
         constraint_initial_scale = 1e-3
         num_samples = {"official": 5, "fast": 5, "scale": 32, "m256": 5, "m256_fast": 5}[config]
 
+    # rk4 = favourable fixed-grid stub; dopri5 = the reference's actual
+    # default (train_mocap_gpode_shooting.py:62), served by the faithful
+    # adaptive stub above
+    Args.solver = solver
     seed_everything(121)
     data_path = os.path.join(_REPO, "data/mocap")
     data_pca = MocapDataset(data_path=data_path, subject="09",
@@ -120,11 +225,13 @@ def _build_torch_reference(config: str):
     return model, Args, data_pca, data_full, projector
 
 
-def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
+def measure_torch_reference(config: str, windows: int, steps: int,
+                            solver: str = "rk4") -> dict:
     """Median steps/s of the actual reference's train step (torch CPU)."""
     import torch
 
-    model, Args, data_pca, data_full, _ = _build_torch_reference(config)
+    model, Args, data_pca, data_full, _ = _build_torch_reference(
+        config, solver)
     from src.gpode_shooting.mocap_model_builder import compute_loss
     ys_full = torch.tensor(data_full.trn.ys, dtype=torch.float32)
     ts = torch.tensor(data_pca.trn.ts, dtype=torch.float32)
@@ -153,7 +260,8 @@ def measure_torch_reference(config: str, windows: int, steps: int) -> dict:
 
 
 def measure_torch_overheads(config: str, eval_draws: int = 128,
-                            probe_draws: int = 4) -> dict:
+                            probe_draws: int = 4,
+                            solver: str = "rk4") -> dict:
     """Pin the reference's OWN init and per-eval wall time for the
     wall-to-wall comparison in bench_time_to_nll.py.
 
@@ -169,7 +277,7 @@ def measure_torch_overheads(config: str, eval_draws: int = 128,
     import torch
 
     model, Args, data_pca, data_full, projector = _build_torch_reference(
-        config)
+        config, solver)
     from src.gpode_shooting.mocap_initialization import (
         initialize_and_fix_kernel_parameters, initialize_inducing,
         initialize_latents_with_data)
@@ -232,7 +340,15 @@ def main():
     ap.add_argument("--torch_overheads", action="store_true",
                     help="also pin the reference's init + per-eval wall "
                          "time (for the wall-to-wall ratio)")
+    ap.add_argument("--torch_solver", default="rk4",
+                    choices=["rk4", "dopri5"],
+                    help="rk4 = favourable fixed-grid stub (pins "
+                         "`torch_reference`); dopri5 = the reference's "
+                         "actual default via the faithful adaptive stub "
+                         "(pins `torch_reference_dopri5`)")
     a = ap.parse_args()
+    torch_key = ("torch_reference" if a.torch_solver == "rk4"
+                 else "torch_reference_dopri5")
 
     # merge into an existing pin file instead of clobbering other configs
     payload = {}
@@ -245,8 +361,12 @@ def main():
         "cpu_count": os.cpu_count(),
         "method": (f"median of {a.windows} windows x {a.steps} steps each; "
                    "cpu-xla in fresh subprocesses; torch reference imported "
-                   "from /root/reference with a fixed-grid RK4 torchdiffeq "
-                   "stub (favours the reference vs its Python-loop dopri5)"),
+                   "from /root/reference; `torch_reference` uses a "
+                   "fixed-grid RK4 torchdiffeq stub (favours the reference "
+                   "vs its Python-loop dopri5); `torch_reference_dopri5` "
+                   "uses a faithful torchdiffeq-0.2.0-semantics adaptive "
+                   "dopri5 stub at the reference's default "
+                   "atol=rtol=1e-6 — its actual advertised config"),
     }
     for config in a.configs:
         entry = payload.get(config, {})
@@ -255,16 +375,17 @@ def main():
                   flush=True)
             entry["cpu_xla"] = measure_cpu_xla(config, a.windows, a.steps)
         if not a.skip_torch:
-            print(f"[{config}] measuring the torch reference step...",
-                  flush=True)
-            prev = entry.get("torch_reference", {})
-            entry["torch_reference"] = {
-                **prev, **measure_torch_reference(config, a.windows, a.steps)}
+            print(f"[{config}] measuring the torch reference step "
+                  f"({a.torch_solver})...", flush=True)
+            prev = entry.get(torch_key, {})
+            entry[torch_key] = {
+                **prev, **measure_torch_reference(config, a.windows, a.steps,
+                                                  a.torch_solver)}
         if a.torch_overheads:
             print(f"[{config}] measuring the torch reference init + eval "
-                  "overheads...", flush=True)
-            entry.setdefault("torch_reference", {}).update(
-                measure_torch_overheads(config))
+                  f"overheads ({a.torch_solver})...", flush=True)
+            entry.setdefault(torch_key, {}).update(
+                measure_torch_overheads(config, solver=a.torch_solver))
         payload[config] = entry
         print(json.dumps({config: entry}, indent=2), flush=True)
 
