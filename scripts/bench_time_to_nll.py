@@ -31,9 +31,12 @@ much as compiling — measured, PROFILE.md):
 CPU extrapolations (pinned in BASELINE_CPU.json by scripts/pin_baseline.py):
 
   * train-only: iters_to_target / pinned_steps_per_sec for the identical
-    XLA program on one CPU core and for the ACTUAL torch reference (with a
-    fixed-grid RK4 torchdiffeq stub that favours it) — no overheads charged
-    to either CPU side (conservative);
+    XLA program on one CPU core and for the ACTUAL torch reference — both
+    with a fixed-grid RK4 torchdiffeq stub that favours it
+    (`torch_reference`) and at its REAL dopri5 default via the faithful
+    adaptive stub (`torch_reference_dopri5`, pin_baseline.py
+    --torch_solver dopri5) — no overheads charged to either CPU side
+    (conservative);
   * wall-to-wall (if torch overheads are pinned via
     `pin_baseline.py --torch_overheads`): the torch side additionally pays
     its own measured init time and its serial per-eval time at the SAME
